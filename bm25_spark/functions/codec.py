@@ -1,0 +1,130 @@
+"""Packed posting-list codec: delta + varint compression with block-max
+metadata (the north-star physical layout; the reference stores flat u32
+(delta, tf) pairs — lib/src/bm25.dart:437-468 — our format additionally
+varint-compresses and records per-block score upper bounds for WAND).
+
+Layout of ``data`` (one blob per (pk, term, shard) row):
+    varint stream of n triples: (doc_id_delta, tf, dl)
+    doc_id_delta is vs the previous posting in THIS shard (first = doc_id -
+    shard_base, where shard_base = shard * shard_size).
+
+Block-max metadata: postings are split into blocks of BLOCK docs;
+``block_last_doc[i]`` = last doc_id in block i, ``block_max[i]`` = max over
+the block of tf/(tf + k1*((1-b)+b*dl/avgdl)) — the score contribution
+divided by idf, so ub(term, block) = idf * block_max. True upper bounds =>
+WAND pruning is exact (safe) for top-k.
+
+Encode/decode are numpy-vectorized inside pandas UDFs (no per-row Python
+varint loops: byte-expansion is done with array ops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK = 128
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, vectorized."""
+    v = values.astype(np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    # max 10 bytes per uint64
+    nbytes = np.maximum((_bit_length(v) + 6) // 7, 1).astype(np.int64)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    pos = np.zeros(n, dtype=np.int64)
+    pos[1:] = np.cumsum(nbytes)[:-1]
+    rem = v.copy()
+    offset = np.zeros(n, dtype=np.int64)
+    active = np.ones(n, dtype=bool)
+    while active.any():
+        idx = np.nonzero(active)[0]
+        byte = (rem[idx] & np.uint64(0x7F)).astype(np.uint8)
+        rem[idx] >>= np.uint64(7)
+        more = rem[idx] != 0
+        out[pos[idx] + offset[idx]] = byte | (more.astype(np.uint8) << 7)
+        offset[idx] += 1
+        active[idx] = more
+    return out.tobytes()
+
+
+def decode_varints(buf: bytes) -> np.ndarray:
+    """Decode a LEB128 stream to uint64 array, vectorized."""
+    if not buf:
+        return np.empty(0, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    cont = (raw & 0x80) != 0
+    # value boundaries: positions where cont is False end a value
+    ends = np.nonzero(~cont)[0]
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    payload = (raw & 0x7F).astype(np.uint64)
+    # shift = 7 * (position within the value)
+    idx = np.arange(len(raw), dtype=np.int64)
+    value_id = np.cumsum(np.concatenate(([False], ~cont[:-1]))).astype(np.int64)
+    within = idx - starts[value_id]
+    shifted = payload << (np.uint64(7) * within.astype(np.uint64))
+    out = np.zeros(len(ends), dtype=np.uint64)
+    np.add.at(out, value_id, shifted)
+    return out
+
+
+def _bit_length(v: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(v), dtype=np.int64)
+    x = v.astype(np.uint64).copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        s = np.uint64(shift)
+        mask = x >= (np.uint64(1) << s)
+        out[mask] += shift
+        x[mask] >>= s
+    out[v.astype(np.uint64) != 0] += 1
+    return out
+
+
+def pack_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    shard_base: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+) -> tuple[bytes, int, list[int], list[float]]:
+    """Returns (data, n, block_last_doc, block_max). Input must be
+    doc-sorted."""
+    n = len(doc_ids)
+    doc_ids = doc_ids.astype(np.int64)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = doc_ids[0] - shard_base
+    deltas[1:] = np.diff(doc_ids).astype(np.uint64)
+    interleaved = np.empty(3 * n, dtype=np.uint64)
+    interleaved[0::3] = deltas
+    interleaved[1::3] = tfs.astype(np.uint64)
+    interleaved[2::3] = dls.astype(np.uint64)
+    data = encode_varints(interleaved)
+
+    norm = (1.0 - b) + b * dls.astype(np.float64) / avgdl
+    partial = tfs.astype(np.float64) * (k1 + 1.0) / (tfs + k1 * norm)
+    block_last, block_max = [], []
+    for s in range(0, n, BLOCK):
+        e = min(s + BLOCK, n)
+        block_last.append(int(doc_ids[e - 1]))
+        block_max.append(float(partial[s:e].max()))
+    return data, n, block_last, block_max
+
+
+def unpack_postings(
+    data: bytes, n: int, shard_base: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (doc_ids, tfs, dls) — inverse of pack_postings."""
+    vals = decode_varints(data)
+    assert len(vals) == 3 * n, (len(vals), n)
+    deltas = vals[0::3].astype(np.int64)
+    tfs = vals[1::3].astype(np.int32)
+    dls = vals[2::3].astype(np.int32)
+    doc_ids = np.cumsum(deltas) + shard_base
+    return doc_ids, tfs, dls
