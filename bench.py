@@ -1,0 +1,113 @@
+"""Headline benchmark: index-build throughput + top-k query latency.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The corpus is the driver's ``documents`` table amplified ×AMPLIFY
+(deterministic doc_id offsets — same text distribution, bigger N) so the
+build measures real shuffle/agg behavior, not job-submission overhead.
+Extra fields (turns_per_sec, n_docs, cores) ride along for BENCH_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bm25_spark.session import get_spark  # noqa: E402
+
+
+BENCH_QUERIES = [
+    ("q_top10", "data table scan filter join", 10, None),
+    ("q_top10_rare", "checkpoint lineage watermark", 10, None),
+    ("q_top100", "spark data window agg", 100, None),
+    ("q_filtered", "data table scan", 10, {"lang": ["en", "fr"]}),
+    ("q_repeat", "data data data table", 10, None),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    amplify = int(os.environ.get("BM25_BENCH_AMPLIFY", "64"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    spark = get_spark(app="bm25-bench", cores=cpus, shuffle_partitions=cpus)
+    from bm25_spark.operators.indexer import build_index
+    from bm25_spark.operators.searcher import search, search_batch
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_base = base.count()
+    copies = (
+        spark.range(amplify).select(F.col("id").alias("copy"))
+        if amplify > 1
+        else None
+    )
+    if copies is not None:
+        corpus = base.crossJoin(F.broadcast(copies)).select(
+            (F.col("doc_id") + F.col("copy") * n_base).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+        )
+    else:
+        corpus = base
+    corpus = corpus.repartition(cpus).persist()
+    n_docs = corpus.count()
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    index = build_index(
+        corpus, text_col="text", id_col="doc_id", index_fields=("lang", "source")
+    ).materialize()
+    build_sec = time.perf_counter() - t0
+    timings["index_build"] = round(build_sec, 3)
+
+    # warmup: one untimed query to pay one-time codegen/broadcast init
+    search(index, "data", limit=5).collect()
+
+    for name, q, k, flt in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        search(index, q, limit=k, flt=flt).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # batched query throughput: 20 queries in one plan
+    batch = [(i, f"{w} data table") for i, w in enumerate(
+        "scan filter join agg window key value row column slow fast small "
+        "large part order batch stream index term".split()
+    )]
+    t0 = time.perf_counter()
+    search_batch(index, batch, limit=10).collect()
+    timings["q_batch20"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "index_build_plus_query_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "turns_per_sec": round(n_docs / build_sec, 1),
+        "query_p50_sec": round(
+            sorted(timings[n] for n, *_ in
+                   [(x[0],) for x in BENCH_QUERIES])[len(BENCH_QUERIES) // 2],
+            3,
+        ),
+        "cores": cpus,
+        "amplify": amplify,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

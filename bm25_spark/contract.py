@@ -246,6 +246,107 @@ def q_empty_query(spark, sf_dir):
     )
 
 
+# ----------------------------------------------------- training-data ops
+
+NEARDUP_COS = 0.3  # synthetic embeddings: max pair cosine ~0.51
+JACCARD_T = 0.1
+MINHASH_PERMS = 8
+SIMHASH_BITS = 16
+
+
+def q_token_stats(spark, sf_dir):
+    from bm25_spark.operators.textstats import token_stats
+
+    return token_stats(_read_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    from bm25_spark.operators.textstats import quality_score
+
+    return quality_score(_read_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    from bm25_spark.operators.textstats import lang_id
+
+    return lang_id(_read_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    from bm25_spark.operators.textstats import fingerprint
+
+    return fingerprint(_read_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark, sf_dir):
+    from bm25_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_read_docs(spark, sf_dir))
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from bm25_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_read_docs(spark, sf_dir), n=3, threshold=JACCARD_T)
+
+
+def q_minhash_sig(spark, sf_dir):
+    from bm25_spark.operators.dedup import shingle_df
+
+    sh = shingle_df(_read_docs(spark, sf_dir), n=3)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(MINHASH_PERMS - 1))).alias("perm")
+    h = F.md5(F.concat_ws("|", F.col("perm").cast("string"), F.col("shingle")))
+    return (
+        sh.select("doc_id", perms, "shingle")
+        .select("doc_id", F.col("perm").cast("long").alias("perm"), h.alias("h"))
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def q_simhash(spark, sf_dir):
+    from bm25_spark.operators.dedup import simhash
+
+    return simhash(_read_docs(spark, sf_dir), bits=SIMHASH_BITS)
+
+
+def q_emb_neardup(spark, sf_dir):
+    from bm25_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, threshold=NEARDUP_COS)
+
+
+def q_ann_topk(spark, sf_dir):
+    from bm25_spark.operators.similarity import brute_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return brute_topk(emb, [(0, [float(x) for x in qvec])], k=TOPK)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate ANN (LSH multiprobe) — rows-only check (no SQL oracle);
+    recall vs brute force is asserted in tests."""
+    from bm25_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_topk(emb, [(0, [float(x) for x in qvec])], k=TOPK, n_planes=6)
+
+
+def q_mm_decode_meta(spark, sf_dir):
+    from bm25_spark.operators.multimodal import attach_blobs, decode_images
+
+    blobs = attach_blobs(_read_docs(spark, sf_dir))
+    return decode_images(blobs).select(
+        "doc_id",
+        "byte_len",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_tokenize": q_tokenize,
@@ -262,6 +363,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_partitioned_stats": q_partitioned_stats,
         "bm25_search_in": q_search_in,
         "bm25_empty_query": q_empty_query,
+        "ts_token_stats": q_token_stats,
+        "ts_quality": q_quality,
+        "ts_lang_id": q_lang_id,
+        "ts_fingerprint": q_fingerprint,
+        "dd_exact": q_dedup_exact,
+        "dd_jaccard": q_jaccard_pairs,
+        "dd_minhash_sig": q_minhash_sig,
+        "dd_simhash": q_simhash,
+        "dd_emb_neardup": q_emb_neardup,
+        "sim_ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "mm_decode_meta": q_mm_decode_meta,
     }
 
 
@@ -345,4 +458,167 @@ idf AS (
 """
         + topk_tail,
         "bm25_empty_query": "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE FALSE",
+        **_training_ops_oracles(),
+    }
+
+
+# DuckDB fragments shared by the training-op oracles
+_TOKS_CTE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     x -> length(x) >= 2) AS toks
+  FROM documents
+)
+"""
+
+_SHINGLES_CTE = (
+    _TOKS_CTE
+    + """
+, sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM t, unnest(generate_series(1, CASE WHEN len(toks) >= 3
+                                         THEN len(toks) - 2 ELSE 0 END)) AS g(i)
+)
+"""
+)
+
+
+def _training_ops_oracles() -> dict[str, str]:
+    from bm25_spark.operators.textstats import STOPWORDS_EN, _LANG_MARKERS
+
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    markers = {
+        lang: ", ".join(f"'{w}'" for w in ws) for lang, ws in _LANG_MARKERS.items()
+    }
+    jacc_tail = f"""
+, sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a, b, jaccard FROM (
+  SELECT i.a, i.b,
+         round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 4) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.a
+  JOIN sizes sb ON sb.doc_id = i.b
+) WHERE jaccard >= {JACCARD_T}
+"""
+    emb_cos = (
+        "list_dot_product(a.e, b.e) / "
+        "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
+    )
+    return {
+        "ts_token_stats": """
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+         AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]'))
+         AS BIGINT) AS bpe_tokens
+FROM documents""",
+        "ts_quality": _TOKS_CTE
+        + f"""
+, q AS (
+  SELECT doc_id, len(toks) AS n,
+         CASE WHEN len(toks) > 0 THEN
+           len(list_filter(toks, x -> list_contains([{stoplist}], x))) * 1.0
+             / len(toks) ELSE 0.0 END AS sr,
+         CASE WHEN len(toks) > 0 THEN
+           list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+         ELSE 0.0 END AS ml
+  FROM t
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       round(sr, 4) AS stopword_ratio, round(ml, 4) AS mean_token_len,
+       round((CASE WHEN n BETWEEN 5 AND 500 THEN 0.5 ELSE 0.0 END)
+             + (CASE WHEN sr >= 0.0 AND sr <= 0.4 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN ml >= 3.0 AND ml <= 10.0 THEN 0.25 ELSE 0.0 END), 4)
+         AS quality
+FROM q""",
+        "ts_lang_id": _TOKS_CTE
+        + f"""
+, h AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> list_contains([{markers['en']}], x))) AS en,
+         len(list_filter(toks, x -> list_contains([{markers['es']}], x))) AS es,
+         len(list_filter(toks, x -> list_contains([{markers['de']}], x))) AS de,
+         len(list_filter(toks, x -> list_contains([{markers['fr']}], x))) AS fr
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN en > 0 AND en >= greatest(es, de, fr) THEN 'en'
+            WHEN es > 0 AND es >= greatest(de, fr) THEN 'es'
+            WHEN de > 0 AND de >= fr THEN 'de'
+            WHEN fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred
+FROM h""",
+        "ts_fingerprint": _TOKS_CTE
+        + "SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM t",
+        "dd_exact": _TOKS_CTE
+        + """
+, k AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS k FROM t),
+g AS (SELECT k, min(doc_id) AS group_id, CAST(count(*) AS BIGINT) AS group_size
+      FROM k GROUP BY k)
+SELECT k.doc_id, g.group_id, g.group_size,
+       k.doc_id = g.group_id AS keep
+FROM k JOIN g USING (k)""",
+        "dd_jaccard": _SHINGLES_CTE + jacc_tail,
+        "dd_minhash_sig": _SHINGLES_CTE
+        + f"""
+SELECT doc_id, CAST(perm AS BIGINT) AS perm,
+       min(md5(perm::VARCHAR || '|' || shingle)) AS mh
+FROM sh, unnest(generate_series(0, {MINHASH_PERMS - 1})) AS p(perm)
+GROUP BY doc_id, perm""",
+        "dd_simhash": _TOKS_CTE
+        + f"""
+, tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  GROUP BY doc_id, tok
+),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (('0x' || substr(md5(tok), 1, 15))::BIGINT >> bit) & 1 = 1
+                  THEN tf ELSE -tf END) AS v
+  FROM tf, unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b(bit)
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM votes GROUP BY doc_id""",
+        "dd_emb_neardup": f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+           FROM embeddings)
+SELECT a, b, cosine FROM (
+  SELECT a.vec_id AS a, b.vec_id AS b, round({emb_cos}, 4) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+) WHERE cosine >= {NEARDUP_COS}""",
+        "sim_ann_topk": f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+           FROM embeddings),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+scored AS (
+  SELECT v.vec_id AS id,
+         round(list_dot_product(v.e, q.qe)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cosine
+  FROM v, q
+)
+SELECT CAST(0 AS BIGINT) AS query_id, id, cosine,
+       CAST(row_number() OVER (ORDER BY cosine DESC, id ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {TOPK}""",
+        "mm_decode_meta": """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(4 + (('0x' || substr(md5(text), 1, 2))::BIGINT % 13) AS BIGINT)
+         AS width,
+       CAST(4 + (('0x' || substr(md5(text), 3, 2))::BIGINT % 13) AS BIGINT)
+         AS height
+FROM documents""",
     }

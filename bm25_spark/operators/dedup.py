@@ -1,0 +1,297 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale design: every variant is candidate-generation (cheap, hash-bucketed,
+shuffle-on-small-keys) followed by verification (exact measure on candidate
+pairs only). Hot shingles are capped (``max_shingle_df``) — the standard
+web-scale guard against quadratic blowup on boilerplate n-grams; the cap is
+logged as a coverage caveat rather than applied silently.
+
+Determinism across Spark / DuckDB / Python comes from md5 (bit-identical in
+all three) — hash values are hex strings or 60-bit ints derived from them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bm25_spark.operators.textstats import _tokens_col
+
+
+def _hex60(col: F.Column) -> F.Column:
+    """First 15 hex chars of md5 -> non-negative 60-bit BIGINT (same value
+    DuckDB gets from ('0x'||substr(md5(x),1,15))::BIGINT)."""
+    return F.conv(F.substring(col, 1, 15), 16, 10).cast("long")
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, group_id, group_size, keep): md5-normalized exact dedup.
+    group_id = min doc_id of the group; keep = is that representative.
+    One hash-shuffle on the 16-byte key; no text comparison."""
+    norm = F.concat_ws(" ", _tokens_col(text_col))
+    keyed = docs.select("doc_id", F.md5(norm).alias("k"))
+    groups = keyed.groupBy("k").agg(
+        F.min("doc_id").alias("group_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        keyed.join(groups, "k")
+        .select(
+            "doc_id",
+            "group_id",
+            F.col("group_size").cast("long").alias("group_size"),
+            (F.col("doc_id") == F.col("group_id")).alias("keep"),
+        )
+    )
+
+
+def shingle_df(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle): distinct word n-gram shingles per doc."""
+    toks = _tokens_col(text_col)
+    # Spark sequence(0, -1) descends — guard short docs with an empty array
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return (
+        docs.select("doc_id", F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    max_shingle_df: int | None = 10000,
+) -> DataFrame:
+    """(a, b, jaccard): n-gram Jaccard near-dup pairs (a < b, jaccard >= t).
+
+    Inverted-index candidate generation: pairs share >=1 shingle; hot
+    shingles above max_shingle_df are dropped from candidate generation
+    (boilerplate guard) — exact for pairs whose overlap includes any
+    sub-cap shingle."""
+    sh = shingle_df(docs, n, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh_cand = sh.join(
+            hot.filter(F.col("df") <= max_shingle_df).select("shingle"),
+            "shingle",
+        )
+    else:
+        sh_cand = sh
+    a, b = sh_cand.alias("a"), sh_cand.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sza") + F.col("szb") - F.col("inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sig: array<string>): MinHash signature — per permutation i,
+    min over shingles of md5(i || '|' || shingle). Lexicographic min over
+    hex strings == min over the underlying 128-bit ints, and is identical
+    in DuckDB SQL."""
+    sh = shingle_df(docs, n, text_col)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
+    h = F.md5(F.concat_ws("|", F.col("perm").cast("string"), F.col("shingle")))
+    per_perm = (
+        sh.select("doc_id", perms, "shingle")
+        .select("doc_id", "perm", h.alias("h"))
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("mh"))
+    )
+    return (
+        per_perm.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("perm", "mh"))).alias("s"))
+        .select("doc_id", F.col("s.mh").alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b, jaccard): LSH candidate pairs (same band bucket) verified with
+    exact shingle Jaccard >= threshold. bands must divide num_perm; rows per
+    band r = num_perm/bands tunes the S-curve."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sig = minhash_signatures(docs, num_perm, n, text_col)
+    band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    bucketed = sig.select("doc_id", band, "sig").select(
+        "doc_id",
+        "band",
+        F.md5(
+            F.concat_ws(",", F.slice("sig", F.col("band") * r + 1, r))
+        ).alias("bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    # verify candidates with exact jaccard
+    sh = shingle_df(docs, n, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sha = sh.select(F.col("doc_id").alias("a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        cand.join(sha, "a").join(shb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): b-bit SimHash over analyzer tokens (tf-weighted).
+    Bit i of md5-hex60(token) votes ±tf; sign of the sum sets the bit."""
+    toks = (
+        docs.select("doc_id", F.explode(_tokens_col(text_col)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", _hex60(F.md5(F.col("tok"))))
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    votes = (
+        toks.select("doc_id", "tf", "h", bit)
+        .withColumn(
+            "vote",
+            F.when(
+                F.expr("(h >> bit) & 1") == 1, F.col("tf")
+            ).otherwise(-F.col("tf")),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        votes.withColumn(
+            "bitval",
+            F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    bits: int = 16,
+    max_hamming: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b, hamming): near-dup pairs with hamming(simhash) <= max_hamming.
+    Candidate generation by band blocking (split bits into max_hamming+1
+    bands; pigeonhole: any pair within distance shares >=1 exact band)."""
+    nb = max_hamming + 1
+    width = bits // nb
+    s = simhash(docs, bits, text_col)
+    band = F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("band")
+    keyed = s.select("doc_id", "simhash", band).withColumn(
+        "key",
+        F.expr(f"(simhash >> (band * {width})) & {(1 << width) - 1}"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cosine): embedding near-dup pairs with cosine >= threshold.
+
+    Test-scale path: full self-join (O(N^2) on the small side). At scale the
+    candidate stage is replaced by LSH bucketing (similarity.lsh_buckets) —
+    same verify expression."""
+    v = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn(
+            "cosine",
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.id").alias("a"), F.col("b.id").alias("b"), "cosine"
+        )
+    )

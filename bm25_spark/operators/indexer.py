@@ -54,8 +54,10 @@ class BM25Index:
     index_fields: tuple[str, ...] = ()
     stopwords: frozenset[str] | None = None
     partitioned: bool = False
-    packed: DataFrame | None = None  # set by codec.pack_index
+    packed: DataFrame | None = None  # set by packed.pack_index
     text_col: str = "text"
+    shard_size: int = DEFAULT_SHARD_SIZE
+    flat: DataFrame | None = None  # (pk, term, doc_id, dl, tf) pre-postings
 
     def persist(self) -> "BM25Index":
         for df in (self.docs, self.terms, self.postings, self.stats):
@@ -63,9 +65,15 @@ class BM25Index:
         return self
 
     def materialize(self) -> "BM25Index":
+        """Force the build. ``flat`` (the tokenize+tf output) is pinned
+        first so the tokenizer UDF runs ONCE, not once per derived table."""
         self.persist()
-        for df in (self.docs, self.terms, self.postings, self.stats):
+        if self.flat is not None:
+            self.flat.persist(StorageLevel.MEMORY_AND_DISK)
+        for df in (self.postings, self.terms, self.docs, self.stats):
             df.count()
+        if self.flat is not None:
+            self.flat.unpersist()
         return self
 
     def unpersist(self) -> None:
@@ -162,6 +170,8 @@ def build_index(
         stopwords=stop,
         partitioned=partition_col is not None,
         text_col=text_col,
+        shard_size=shard_size,
+        flat=flat,
     )
 
 

@@ -1,0 +1,144 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, with decode / feature-extract / resize / frame-sample as
+Arrow-batched ``mapInPandas`` stages.
+
+The Spark-side plumbing (schemas, batch shapes, partitioning, UDF
+signatures) is real and tested; the actual media decoding is STUBBED —
+this container has no image/audio libraries — behind ``_decode_stub``,
+which derives deterministic fake pixel/sample data from the bytes' md5.
+Swapping in PIL/libav means replacing only the ``_decode_stub`` body.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BLOB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("blob", T.BinaryType(), False),
+        T.StructField("mime", T.StringType(), True),
+    ]
+)
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("byte_len", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("mean_pixel", T.DoubleType(), False),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def attach_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic fake media table from a text corpus: blob = utf-8 bytes
+    (stands in for encoded media; real pipelines read binary files/Iceberg
+    binary columns the same way)."""
+    return docs.select(
+        "doc_id",
+        F.lit("image").alias("modality"),
+        F.encode(F.col(text_col), "utf-8").alias("blob"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+def _decode_stub(blob: bytes) -> np.ndarray:
+    """STUB decoder (no media libs in this container): derives a
+    deterministic (h, w, 3) uint8 array from md5(blob). Replace with
+    PIL.Image.open for real images. NOT a real decode."""
+    h = hashlib.md5(blob).digest()
+    w_px = 4 + h[0] % 13
+    h_px = 4 + h[1] % 13
+    rng = np.frombuffer(
+        hashlib.md5(blob + b"px").digest() * ((w_px * h_px * 3) // 16 + 1),
+        dtype=np.uint8,
+    )[: w_px * h_px * 3]
+    return rng.reshape(h_px, w_px, 3)
+
+
+def decode_images(blobs: DataFrame) -> DataFrame:
+    """(doc_id, byte_len, width, height, channels, mean_pixel): decode +
+    feature-extract via mapInPandas — Arrow batches in, Arrow batches out;
+    partitioning preserved (narrow)."""
+
+    def run(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "byte_len": pdf["blob"].map(len).astype("int64"),
+            }
+            dims = [_decode_stub(bytes(b)) for b in pdf["blob"]]
+            out["width"] = pd.Series([d.shape[1] for d in dims], dtype="int32")
+            out["height"] = pd.Series([d.shape[0] for d in dims], dtype="int32")
+            out["channels"] = pd.Series([d.shape[2] for d in dims], dtype="int32")
+            out["mean_pixel"] = pd.Series(
+                [round(float(d.mean()), 4) for d in dims], dtype="float64"
+            )
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(run, schema=IMAGE_META_SCHEMA)
+
+
+def resize_images(blobs: DataFrame, target: int = 8) -> DataFrame:
+    """(doc_id, blob): 'resize' = decode stub + nearest-neighbor subsample +
+    re-encode (bytes of the resized array). Real impl swaps the stub."""
+
+    def run(batches):
+        for pdf in batches:
+            out_blobs = []
+            for b in pdf["blob"]:
+                arr = _decode_stub(bytes(b))
+                ys = np.linspace(0, arr.shape[0] - 1, target).astype(int)
+                xs = np.linspace(0, arr.shape[1] - 1, target).astype(int)
+                out_blobs.append(arr[np.ix_(ys, xs)].tobytes())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "blob": out_blobs}
+            )
+
+    return blobs.mapInPandas(
+        run,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("blob", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
+def sample_frames(blobs: DataFrame, n_frames: int = 4) -> DataFrame:
+    """(doc_id, frame_idx, frame): video frame sampling — the blob is split
+    into n_frames deterministic chunks (stub for keyframe extraction).
+    One-to-many mapInPandas: batch shape changes, schema explicit."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(b)
+                step = max(1, len(raw) // n_frames)
+                for i in range(n_frames):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(i)
+                    rows["frame"].append(raw[i * step : (i + 1) * step])
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(run, schema=FRAME_SCHEMA)

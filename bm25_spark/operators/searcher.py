@@ -54,6 +54,52 @@ _QDF_SCHEMA = StructType(
 )
 
 
+_QIDF_SCHEMA = (
+    "query_id long, pk string, term string, qtf int, idf double, avgdl double"
+)
+
+
+def _stats_map(index: BM25Index, partition_keys) -> dict:
+    """pk -> (n_docs, avgdl), collected once per index and cached."""
+    cache = index.__dict__.setdefault("_stats_cache", {})
+    if index.__dict__.get("_stats_all"):
+        return cache
+    if partition_keys is None:
+        for r in index.stats.collect():
+            cache[r["pk"]] = (r["n_docs"], r["avgdl"])
+        index.__dict__["_stats_all"] = True
+    else:
+        missing = [k for k in partition_keys if k not in cache]
+        if missing:
+            for r in index.stats.filter(F.col("pk").isin(missing)).collect():
+                cache[r["pk"]] = (r["n_docs"], r["avgdl"])
+            for k in missing:  # unknown partitions stay absent, marked seen
+                cache.setdefault(k, None)
+    return cache
+
+
+def _query_frame_with_idf(index: BM25Index, qrows, partition_keys) -> DataFrame:
+    """(query_id, pk, term, qtf, idf, avgdl) built driver-side from the
+    term-dictionary probe; broadcast into the single scoring join."""
+    needed = sorted({t for _, t, _ in qrows})
+    t = index.terms.filter(F.col("term").isin(needed)).select("pk", "term", "idf")
+    if partition_keys is not None:
+        t = t.filter(F.col("pk").isin(partition_keys))
+    idf_rows = t.collect()
+    smap = _stats_map(index, partition_keys)
+    by_term: dict[str, list] = {}
+    for qid, term, qtf in qrows:
+        by_term.setdefault(term, []).append((qid, qtf))
+    rows = []
+    for r in idf_rows:
+        st = smap.get(r["pk"])
+        if st is None:
+            continue
+        for qid, qtf in by_term.get(r["term"], ()):
+            rows.append((qid, r["pk"], r["term"], qtf, float(r["idf"]), float(st[1])))
+    return index.spark.createDataFrame(rows, _QIDF_SCHEMA)
+
+
 def _filter_predicate(index: BM25Index, flt: dict) -> F.Column:
     """Reference filter semantics (bm25.dart:603-629): union of values
     within a field, intersection across fields; docs with a NULL/missing
@@ -103,19 +149,19 @@ def search_batch(
     if not qrows:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
-    qdf = spark.createDataFrame(qrows, _QDF_SCHEMA)
     needed_terms = sorted({t for _, t, _ in qrows})
 
     p = index.postings.filter(F.col("term").isin(needed_terms))
-    t = index.terms.filter(F.col("term").isin(needed_terms))
-    stats = index.stats
     if partition_keys is not None:
         p = p.filter(F.col("pk").isin(partition_keys))
-        t = t.filter(F.col("pk").isin(partition_keys))
-        stats = stats.filter(F.col("pk").isin(partition_keys))
 
-    # (pk, term, idf) x (query_id, term, qtf): both tiny -> broadcast
-    q_terms = t.select("pk", "term", "idf").join(qdf, "term")
+    # Driver-side dictionary lookup (exactly a search engine's term-dict
+    # probe): the ≤|q| idf rows and the per-pk avgdl scalars are collected
+    # once and folded into a single broadcast-joined frame — the scoring
+    # job then has ONE join, not three.
+    q_terms = F.broadcast(
+        _query_frame_with_idf(index, qrows, partition_keys)
+    )
 
     e = p.select(
         "pk", "term", F.explode("postings").alias("post")
@@ -148,8 +194,7 @@ def search_batch(
         )
     )
     scored = (
-        e.join(F.broadcast(q_terms), ["pk", "term"])
-        .join(F.broadcast(stats.select("pk", "avgdl")), "pk")
+        e.join(q_terms, ["pk", "term"])
         .groupBy("query_id", "pk", "doc_id")
         .agg(F.sum(contrib).alias("score"))
     )

@@ -1,0 +1,143 @@
+"""Incremental index ingestion via Structured Streaming.
+
+Lucene-style segment model: each micro-batch builds a self-contained index
+segment (docs/flat tf rows) appended under ``root/segments/``; a compaction
+step merges all segments into a normal BM25Index with GLOBAL df/idf/avgdl
+(per-segment stats are never mixed — BM25 stats must be corpus-wide, so
+query-serving always happens against a compacted view).
+
+- ``stream_ingest``: readStream (file source; any streaming source works)
+  -> foreachBatch -> segment append. foreachBatch runs sequentially per
+  micro-batch, so the doc_id offset (max existing id + 1, dense within
+  batch by (conv_id, turn_idx)) is race-free. Exactly-once via the
+  streaming checkpoint + idempotent overwrite of segment=<batch_id>.
+- ``compact_segments``: segments -> BM25Index (one shuffle per index table,
+  same plan as a batch build).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bm25_spark.functions.analyzer import make_tokenize_udf
+from bm25_spark.operators.docids import assign_doc_ids
+
+
+def _segment_path(root: str, batch_id: int) -> str:
+    return os.path.join(root, "segments", f"segment={batch_id}")
+
+
+def stream_ingest(
+    spark: SparkSession,
+    input_path: str,
+    root: str,
+    schema,
+    checkpoint_dir: str | None = None,
+    stopwords=None,
+    available_now: bool = True,
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    text_col: str = "text",
+):
+    """Start (and with available_now=True, run to completion) the ingest
+    stream. Each segment holds docs rows (with terms+dl) for later global
+    compaction."""
+    stop = frozenset(stopwords) if stopwords else None
+    tok = make_tokenize_udf(stop)
+    checkpoint_dir = checkpoint_dir or os.path.join(root, "_checkpoint")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        seg_root = os.path.join(root, "segments")
+        offset = 0
+        if os.path.isdir(seg_root) and any(
+            n.startswith("segment=") for n in os.listdir(seg_root)
+        ):
+            existing = spark.read.parquet(os.path.join(seg_root, "segment=*"))
+            offset = existing.agg(F.max("doc_id")).collect()[0][0] + 1
+        base = assign_doc_ids(batch_df, order_cols=order_cols)
+        seg = (
+            base.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+            .withColumn("terms", tok(F.col(text_col)))
+            .withColumn("dl", F.size("terms"))
+        )
+        # idempotent: re-run of the same batch_id overwrites the same dir
+        seg.write.mode("overwrite").parquet(_segment_path(root, batch_id))
+
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+def compact_segments(
+    spark: SparkSession,
+    root: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    index_fields: tuple[str, ...] = ("role", "tool", "conv_id"),
+    shard_size: int = 1 << 20,
+    partition_col: str | None = None,
+):
+    """Merge all segments into a BM25Index with global statistics."""
+    from bm25_spark.operators.indexer import BM25Index
+
+    seg = spark.read.parquet(os.path.join(root, "segments", "segment=*"))
+    pk_expr = (
+        F.col(partition_col).cast("string") if partition_col else F.lit("")
+    )
+    docs = seg.withColumn("pk", pk_expr)
+    flat = (
+        docs.select("pk", "doc_id", "dl", F.explode("terms").alias("term"))
+        .groupBy("pk", "term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+    docs_out = docs.drop("terms")
+    stats = docs_out.groupBy("pk").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    terms = (
+        flat.groupBy("pk", "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(stats.select("pk", "n_docs")), "pk")
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .drop("n_docs")
+    )
+    postings = (
+        flat.withColumn("shard", (F.col("doc_id") / F.lit(shard_size)).cast("int"))
+        .groupBy("pk", "term", "shard")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl"))).alias(
+                "postings"
+            )
+        )
+    )
+    return BM25Index(
+        spark=spark,
+        docs=docs_out,
+        terms=terms,
+        postings=postings,
+        stats=stats,
+        k1=k1,
+        b=b,
+        index_fields=tuple(index_fields),
+        partitioned=partition_col is not None,
+        shard_size=shard_size,
+        flat=flat,
+    )

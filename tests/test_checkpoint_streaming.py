@@ -1,0 +1,78 @@
+"""Resumable checkpointed builds + streaming segment ingest."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bm25_spark.operators import searcher
+from bm25_spark.operators.indexer import build_index
+from bm25_spark.plans import checkpoint
+from bm25_spark.sources.datagen import (
+    TRANSCRIPT_SCHEMA,
+    synthetic_transcripts,
+)
+from bm25_spark.streaming import ingest
+
+
+def test_checkpointed_build_and_resume(spark, tmp_path):
+    df = synthetic_transcripts(spark, n_convs=12, seed=3)
+    root = str(tmp_path / "idx")
+    s1 = checkpoint.checkpointed_build(df, root, partition_col="role")
+    assert s1["partitions_built"] == s1["partitions_total"] > 0
+    assert s1["partitions_skipped"] == 0
+    # manifests carry metrics
+    mdir = os.path.join(root, "_manifests")
+    m = json.load(open(os.path.join(mdir, sorted(os.listdir(mdir))[0])))
+    assert m["status"] == "done" and m["metrics"]["docs_rows"] > 0
+
+    # resume: everything skipped
+    s2 = checkpoint.checkpointed_build(df, root, partition_col="role")
+    assert s2["partitions_built"] == 0
+    assert s2["partitions_skipped"] == s1["partitions_total"]
+
+    # delete one manifest -> only that partition rebuilds
+    victim = sorted(os.listdir(mdir))[0]
+    os.remove(os.path.join(mdir, victim))
+    s3 = checkpoint.checkpointed_build(df, root, partition_col="role")
+    assert s3["partitions_built"] == 1
+
+    # the reloaded index answers partition-scoped queries like a fresh build
+    idx = checkpoint.read_checkpointed_index(spark, root)
+    fresh = build_index(df, partition_col="role")
+    for key in ["user", "assistant"]:
+        a = [(r["doc_id"], round(r["score"], 9)) for r in
+             searcher.search_in(idx, key, "spark data query", 10).collect()]
+        b = [(r["doc_id"], round(r["score"], 9)) for r in
+             searcher.search_in(fresh, key, "spark data query", 10).collect()]
+        assert a == b
+
+
+def test_stream_ingest_and_compact(spark, tmp_path):
+    df = synthetic_transcripts(spark, n_convs=10, seed=9)
+    inp = str(tmp_path / "in")
+    root = str(tmp_path / "stream_idx")
+    # two file drops = two micro-batches under availableNow
+    half1 = df.filter(F.col("conv_id") < "conv-000005")
+    half2 = df.subtract(half1)
+    half1.write.mode("overwrite").parquet(inp)
+    ingest.stream_ingest(spark, inp, root, TRANSCRIPT_SCHEMA)
+    half2.write.mode("append").parquet(inp)
+    ingest.stream_ingest(spark, inp, root, TRANSCRIPT_SCHEMA)
+
+    idx = ingest.compact_segments(spark, root)
+    n = idx.docs.count()
+    assert n == df.count()
+    # dense, unique global doc_ids across segments
+    ids = [r[0] for r in idx.docs.select("doc_id").collect()]
+    assert sorted(ids) == list(range(n))
+    # compacted index answers queries with global stats == batch build over
+    # the same rows (doc_ids differ only by segment ordering, so compare
+    # score multisets)
+    batch_idx = build_index(df)
+    a = sorted(round(r["score"], 9) for r in
+               searcher.search(idx, "spark data query", 10).collect())
+    b = sorted(round(r["score"], 9) for r in
+               searcher.search(batch_idx, "spark data query", 10).collect())
+    assert a == b

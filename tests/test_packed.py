@@ -1,0 +1,106 @@
+"""Packed index (delta+varint blobs + grouped numpy scoring) must be
+rank- and score-identical to the plain DataFrame path and the oracle."""
+
+import numpy as np
+import pytest
+
+from bm25_spark.functions import codec
+from bm25_spark.operators import searcher
+from bm25_spark.operators.indexer import build_index
+from bm25_spark.operators.packed import pack_index, search_packed
+from bm25_spark.sources.datagen import (
+    golden_transcripts,
+    synthetic_transcripts,
+)
+
+GOLDEN = {
+    "quick fox": [(0, 1.6473), (1, 0.9138), (3, 0.8664)],
+    "lazy dog": [(2, 1.1252), (0, 1.0142), (1, 0.5626)],
+    "jumping": [(3, 1.3719)],
+}
+
+
+@pytest.fixture(scope="module")
+def packed_golden(spark):
+    idx = pack_index(build_index(golden_transcripts(spark)))
+    idx.packed.persist()
+    idx.packed.count()
+    yield idx
+    idx.packed.unpersist()
+
+
+@pytest.fixture(scope="module")
+def packed_synth(spark):
+    df = synthetic_transcripts(spark, n_convs=30, seed=11)
+    idx = pack_index(build_index(df, shard_size=64))
+    idx.persist()
+    idx.packed.persist()
+    idx.packed.count()
+    yield idx
+    idx.unpersist()
+    idx.packed.unpersist()
+
+
+def _ranked(df):
+    return [(r["doc_id"], r["score"]) for r in df.orderBy("rank").collect()]
+
+
+def test_codec_property_roundtrip():
+    rng = np.random.default_rng(7)
+    for _ in range(30):
+        n = int(rng.integers(1, 2000))
+        base = int(rng.integers(0, 2**40))
+        ids = np.sort(rng.choice(10**7, size=n, replace=False)) + base
+        tfs = rng.integers(1, 1000, n)
+        dls = rng.integers(0, 10**6, n)
+        data, m, bl, bm = codec.pack_postings(
+            ids, tfs, dls, base, 1.2, 0.75, 123.4
+        )
+        i2, t2, l2 = codec.unpack_postings(data, m, base)
+        assert np.array_equal(ids, i2)
+        assert np.array_equal(tfs, t2.astype(np.int64))
+        assert np.array_equal(dls, l2.astype(np.int64))
+        # block bounds are true upper bounds of the partial score
+        norm = 0.25 + 0.75 * dls / 123.4
+        partial = tfs * 2.2 / (tfs + 1.2 * norm)
+        for bi in range(len(bm)):
+            lo, hi = bi * codec.BLOCK, min((bi + 1) * codec.BLOCK, n)
+            assert partial[lo:hi].max() <= bm[bi] + 1e-12
+
+
+def test_packed_golden_scores(packed_golden):
+    for q, expected in GOLDEN.items():
+        res = search_packed(packed_golden, [(0, q)], limit=3)
+        got = _ranked(res.select("doc_id", "score", "rank"))
+        assert [d for d, _ in got] == [d for d, _ in expected], q
+        for (_, gs), (_, es) in zip(got, expected):
+            assert abs(gs - es) < 5e-5
+
+
+def test_packed_matches_plain_path(packed_synth):
+    queries = [
+        "spark query data", "fox dog", "cat cat cat", "table join filter",
+        "error retry plan", "value key row column",
+    ]
+    for i, q in enumerate(queries):
+        plain = searcher.search_batch(packed_synth, [(i, q)], limit=20)
+        packd = search_packed(packed_synth, [(i, q)], limit=20)
+        a = [(r["doc_id"], round(r["score"], 10)) for r in plain.orderBy("rank").collect()]
+        b = [(r["doc_id"], round(r["score"], 10)) for r in packd.orderBy("rank").collect()]
+        assert a == b, q
+
+
+def test_packed_filtered_matches_plain(packed_synth):
+    flt = {"role": ["user", "assistant"]}
+    plain = searcher.search_batch(packed_synth, [(0, "spark data")], limit=15, flt=flt)
+    packd = search_packed(packed_synth, [(0, "spark data")], limit=15, flt=flt)
+    a = [(r["doc_id"], round(r["score"], 10)) for r in plain.orderBy("rank").collect()]
+    b = [(r["doc_id"], round(r["score"], 10)) for r in packd.orderBy("rank").collect()]
+    assert a == b
+
+
+def test_packed_batch_and_empty(packed_synth):
+    res = search_packed(packed_synth, [(0, "spark"), (1, ""), (2, "zzqq")], limit=5)
+    rows = res.collect()
+    assert {r["query_id"] for r in rows} == {0}
+    assert search_packed(packed_synth, [(0, "  ")], limit=5).count() == 0
