@@ -69,6 +69,7 @@ def checkpointed_build(
     completed partitions (lineage fingerprint = build params; callers that
     need input-data fingerprints can add a snapshot id to build_kwargs —
     with Iceberg inputs this is the snapshot_id, giving exact lineage)."""
+    from bm25_spark.operators.docids import assign_doc_ids
     from bm25_spark.operators.indexer import build_index
 
     build_kwargs = dict(build_kwargs or {})
@@ -83,12 +84,31 @@ def checkpointed_build(
     os.makedirs(_manifest_dir(root), exist_ok=True)
     summary = {"partitions_total": len(keys), "partitions_skipped": 0, "partitions_built": 0}
 
-    for key in sorted(map(str, keys)):
-        if key in done:
-            summary["partitions_skipped"] += 1
-            continue
+    todo = [k for k in sorted(map(str, keys)) if k not in done]
+    summary["partitions_skipped"] = len(keys) - len(todo)
+    if not todo:
+        return summary
+
+    # doc_ids are GLOBAL (dense rank over order_cols across the whole
+    # corpus), assigned once up front — a partition built today and one
+    # built on a resumed run tomorrow must agree with each other and with a
+    # single-job build_index(partition_col=...). The rank is a pure function
+    # of the data, so re-runs reproduce identical ids.
+    if "id_col" in build_kwargs:
+        with_ids = transcripts
+    else:
+        with_ids = assign_doc_ids(
+            transcripts,
+            order_cols=build_kwargs.pop("order_cols", ("conv_id", "turn_idx")),
+            method=build_kwargs.pop("docid_method", "range"),
+        )
+        build_kwargs["id_col"] = "doc_id"
+    build_kwargs.pop("order_cols", None)
+    build_kwargs.pop("docid_method", None)
+
+    for key in todo:
         t0 = time.perf_counter()
-        part = transcripts.filter(F.col(partition_col).cast("string") == key)
+        part = with_ids.filter(F.col(partition_col).cast("string") == key)
         idx = build_index(part, partition_col=partition_col, **build_kwargs)
         metrics = {}
         for tname, df in (
