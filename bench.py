@@ -71,7 +71,9 @@ def main() -> None:
     build_sec = time.perf_counter() - t0
     timings["index_build"] = round(build_sec, 3)
 
-    # warmup: one untimed query to pay one-time codegen/broadcast init
+    # settle build-side garbage before timing queries (query latency should
+    # not bill the build's GC debt), then pay one-time codegen/worker init
+    spark._jvm.System.gc()
     search(index, "data", limit=5).collect()
 
     for name, q, k, flt in BENCH_QUERIES:

@@ -128,3 +128,25 @@ def unpack_postings(
     dls = vals[2::3].astype(np.int32)
     doc_ids = np.cumsum(deltas) + shard_base
     return doc_ids, tfs, dls
+
+
+def pack_run(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, base: int
+) -> bytes:
+    """Pack a doc-sorted partial posting run (same triple-varint layout as
+    pack_postings, no block metadata — the map-side unit of the two-stage
+    build: partitions emit compressed runs, the per-term shuffle moves only
+    these blobs, and the reducer merge-sorts runs into the final shard)."""
+    n = len(doc_ids)
+    doc_ids = doc_ids.astype(np.int64)
+    interleaved = np.empty(3 * n, dtype=np.uint64)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = doc_ids[0] - base
+    deltas[1:] = np.diff(doc_ids).astype(np.uint64)
+    interleaved[0::3] = deltas
+    interleaved[1::3] = tfs.astype(np.uint64)
+    interleaved[2::3] = dls.astype(np.uint64)
+    return encode_varints(interleaved)
+
+
+unpack_run = unpack_postings  # identical layout

@@ -1,28 +1,40 @@
 """Packed physical index: delta+varint postings blobs + block-max metadata,
-and the vectorized scoring path over them.
+and the scoring paths over them.
 
 Why this layout scales (the reference's flat Uint32List postings,
 lib/src/bm25.dart:437-468, re-thought for a 1000-executor cluster):
 
 - one row per (pk, term, shard): a Zipf-hot term is split across doc-range
-  shards, so no single collect_list/row explodes; parquet/Iceberg min-max +
-  bloom on ``term`` prune the scan to exactly the query's rows;
+  shards, so no single row explodes; parquet/Iceberg min-max + bloom on
+  ``term`` prune the scan to exactly the query's rows;
 - a doc's postings for ALL query terms live in the same shard (shards are
   contiguous doc_id ranges), so per-(query, pk, shard) scoring is complete
   and a per-shard top-k merges into an EXACT global top-k — the distributed
   analog of the reference's single-threaded bounded heap (bm25.dart:744-790);
-- scoring is an Arrow-grouped UDF doing pure numpy: varint-decode, sparse
-  accumulate (np.add.at over shard-local doc slots), argpartition top-k.
-  No per-row Python, no JVM<->Python chatter beyond the ≤|q| blobs/shard.
+- scoring is pure numpy over Arrow batches: varint-decode, sparse
+  accumulate (np.add.at over doc slots), argpartition top-k. No per-row
+  Python, no JVM<->Python chatter beyond the ≤|q| blobs/shard.
 
-Block-max metadata (per-BLOCK score upper bounds, codec.py) is persisted
-alongside; shard-level upper bounds enable safe pruning (see
-``shard_upper_bounds``): ub(shard) = Σ_t idf_t · max_block partial_t ≥ any
-doc score in the shard, so shards with ub below the running k-th score can
-be skipped without changing the exact top-k.
+Two physical strategies, chosen per query:
+
+1. **Driver path** (interactive): when the candidate volume (Σ df over the
+   query's terms) is small enough to fetch, the driver probes the term
+   dictionary (cached), applies SHARD-LEVEL BLOCK-MAX PRUNING — shards whose
+   score upper bound ub(shard) = Σ_t qtf·idf_t·max_b block_max(t, shard, b)
+   cannot beat the running k-th score are never fetched nor decoded (the
+   WAND bound at shard granularity; safe ⇒ exact top-k) — and scores the
+   surviving blobs in-process. This is what a search head does; Spark serves
+   as the index store (predicate pushdown on term reads only those rows).
+2. **Cluster path** (batch / huge postings): ship blobs to executors,
+   score per (query, pk, shard) group in a vectorized applyInPandas, merge
+   shard top-k globally. Metadata filters become a doc-id mask INSIDE the
+   numpy scorer (reference semantics: filtered docs skipped during
+   traversal, bm25.dart:644).
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pandas as pd
@@ -57,11 +69,24 @@ PACKED_FIELDS = StructType(
     ]
 )
 
+# Above this many candidate postings the driver path would pull too much —
+# score on the cluster instead. Overridable for experiments.
+DRIVER_PATH_MAX_POSTINGS = int(
+    os.environ.get("BM25_DRIVER_PATH_MAX_POSTINGS", "20000000")
+)
+# Metadata filters: the driver path materializes the allowed doc-id set
+# locally only below this cardinality; bigger filters score on the cluster.
+DRIVER_PATH_MAX_ALLOWED = int(
+    os.environ.get("BM25_DRIVER_PATH_MAX_ALLOWED", "2000000")
+)
+
 
 def pack_index(index: BM25Index) -> BM25Index:
-    """Derive ``index.packed``: (pk, term, shard, n, data, block_last,
-    block_max) — one varint blob per posting shard. Uses the index's own
-    shard_size (shard_base = shard * shard_size must match the build)."""
+    """Derive ``index.packed`` from an array-layout postings table. The
+    builder packs directly (indexer._packed_postings), so this is a no-op
+    for freshly built indexes; it remains for legacy-layout loads."""
+    if index.packed is not None:
+        return index
     k1, b = index.k1, index.b
     shard_size = index.shard_size
 
@@ -104,13 +129,326 @@ def pack_index(index: BM25Index) -> BM25Index:
     return index
 
 
-def _query_frames(index: BM25Index, queries, stopwords):
+def _qrows(index: BM25Index, queries, stopwords):
     stop = stopwords if stopwords is not None else index.stopwords
-    qrows = []
+    out = []
     for qid, qtext in queries:
         for term, qtf in query_term_counts(qtext, stop).items():
-            qrows.append((qid, term, qtf))
-    return qrows
+            out.append((qid, term, qtf))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Driver fast path
+# ---------------------------------------------------------------------------
+
+
+def _term_meta(index: BM25Index, terms_needed, partition_keys):
+    """(pk, term) -> (idf, df) via the term dictionary, cached on the index
+    (the driver-side analog of the reference's dictionary probe,
+    bm25.dart:637)."""
+    cache = index.__dict__.setdefault("_term_meta_cache", {})
+    missing = [t for t in terms_needed if t not in cache]
+    if missing:
+        for t in missing:
+            cache[t] = {}
+        rows = (
+            index.terms.filter(F.col("term").isin(missing))
+            .select("pk", "term", "idf", "df")
+            .collect()
+        )
+        for r in rows:
+            cache[r["term"]][r["pk"]] = (float(r["idf"]), int(r["df"]))
+    out = {}
+    for t in terms_needed:
+        for pk, meta in cache[t].items():
+            if partition_keys is None or pk in partition_keys:
+                out[(pk, t)] = meta
+    return out
+
+
+def _shard_meta(index: BM25Index, terms_needed, partition_keys):
+    """(pk, term) -> list of (shard, n, ub_partial) where ub_partial =
+    max block_max over the shard. Cached; blobs are NOT fetched here."""
+    cache = index.__dict__.setdefault("_shard_meta_cache", {})
+    missing = [t for t in terms_needed if t not in cache]
+    if missing:
+        for t in missing:
+            cache[t] = {}
+        rows = (
+            index.packed.filter(F.col("term").isin(missing))
+            .select("pk", "term", "shard", "n", "block_max")
+            .collect()
+        )
+        for r in rows:
+            cache[r["term"]].setdefault(r["pk"], []).append(
+                (int(r["shard"]), int(r["n"]), float(max(r["block_max"])))
+            )
+    out = {}
+    for t in terms_needed:
+        for pk, lst in cache[t].items():
+            if partition_keys is None or pk in partition_keys:
+                out[(pk, t)] = lst
+    return out
+
+
+def _fetch_blobs(index: BM25Index, wanted: set[tuple[str, str, int]]):
+    """Fetch + decode packed blobs for the given (pk, term, shard) keys,
+    with a decoded-postings cache on the index. The Spark scan is pruned by
+    the term IN (...) predicate (parquet min-max + dictionary)."""
+    cache = index.__dict__.setdefault("_blob_cache", {})
+    if len(cache) > 4096:  # bound driver memory; refetch is cheap
+        cache.clear()
+    missing = [k for k in wanted if k not in cache]
+    if missing:
+        terms_m = sorted({t for _, t, _ in missing})
+        pks_m = sorted({p for p, _, _ in missing})
+        shards_m = sorted({s for _, _, s in missing})
+        rows = (
+            index.packed.filter(
+                F.col("term").isin(terms_m)
+                & F.col("pk").isin(pks_m)
+                & F.col("shard").isin(shards_m)
+            )
+            .select("pk", "term", "shard", "n", "data")
+            .collect()
+        )
+        for r in rows:
+            key = (r["pk"], r["term"], int(r["shard"]))
+            ids, tfs, dls = codec.unpack_postings(
+                bytes(r["data"]), int(r["n"]), int(r["shard"]) * index.shard_size
+            )
+            cache[key] = (ids, tfs, dls)
+    return {k: cache[k] for k in wanted if k in cache}
+
+
+def _driver_topk(
+    index: BM25Index,
+    qrows,
+    limit: int,
+    partition_keys,
+    per_partition_limit,
+    prune: bool = True,
+    allowed_by_pk: dict[str, np.ndarray] | None = None,
+) -> list[tuple]:
+    """Exact top-k on the driver with shard-level block-max pruning.
+    Returns result tuples (query_id, pk, doc_id, score, rank)."""
+    k1, b = index.k1, index.b
+    terms_needed = sorted({t for _, t, _ in qrows})
+    tmeta = _term_meta(index, terms_needed, partition_keys)
+    smeta = _shard_meta(index, terms_needed, partition_keys)
+    from bm25_spark.operators.searcher import _stats_map
+
+    stats = _stats_map(index, partition_keys)
+
+    by_query: dict[int, list[tuple[str, int]]] = {}
+    for qid, term, qtf in qrows:
+        by_query.setdefault(qid, []).append((term, qtf))
+
+    results: list[tuple] = []
+    for qid, tq in sorted(by_query.items()):
+        # per pk: candidate shards with upper bounds
+        pks = sorted(
+            {pk for (pk, t) in tmeta if any(t == tt for tt, _ in tq)}
+        )
+        per_pk: list[tuple[str, np.ndarray, np.ndarray]] = []
+        for pk in pks:
+            st = stats.get(pk)
+            if st is None:
+                continue
+            if allowed_by_pk is not None:
+                allow = allowed_by_pk.get(pk)
+                if allow is None or len(allow) == 0:
+                    continue
+            avgdl = st[1]
+            # shard -> ub accumulation over query terms (with multiplicity)
+            shard_ub: dict[int, float] = {}
+            shard_terms: dict[int, list[tuple[str, int, float]]] = {}
+            for term, qtf in tq:
+                meta = tmeta.get((pk, term))
+                if meta is None:
+                    continue
+                idf = meta[0]
+                for shard, n, ub_partial in smeta.get((pk, term), ()):
+                    shard_ub[shard] = shard_ub.get(shard, 0.0) + qtf * idf * ub_partial
+                    shard_terms.setdefault(shard, []).append((term, qtf, idf))
+            if not shard_ub:
+                continue
+            # WAND at shard granularity: visit shards in ub-descending
+            # order; once the running k-th score beats a shard's upper
+            # bound, that shard (and all remaining) is never fetched.
+            order = sorted(shard_ub, key=lambda s: -shard_ub[s])
+            k_eff = per_partition_limit or limit
+            theta = -np.inf
+            kept_ids: list[np.ndarray] = []
+            kept_scores: list[np.ndarray] = []
+            n_kept = 0
+            for shard in order:
+                if prune and n_kept >= k_eff and shard_ub[shard] <= theta:
+                    break
+                wanted = {(pk, t, shard) for t, _, _ in shard_terms[shard]}
+                blobs = _fetch_blobs(index, wanted)
+                docs_l, contrib_l = [], []
+                for term, qtf, idf in shard_terms[shard]:
+                    blob = blobs.get((pk, term, shard))
+                    if blob is None:
+                        continue
+                    ids, tfs, dls = blob
+                    if allowed_by_pk is not None:
+                        # reference semantics: filtered docs skipped during
+                        # traversal (bm25.dart:644); mask-only ⇒ the shard
+                        # upper bounds stay valid (pruning remains exact)
+                        pos = np.searchsorted(allow, ids).clip(
+                            max=len(allow) - 1
+                        )
+                        keep = allow[pos] == ids
+                        if not keep.any():
+                            continue
+                        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                    tfs = tfs.astype(np.float64)
+                    norm = (1.0 - b) + b * dls.astype(np.float64) / avgdl
+                    contrib_l.append(qtf * idf * tfs * (k1 + 1.0) / (tfs + k1 * norm))
+                    docs_l.append(ids)
+                if not docs_l:
+                    continue
+                docs_cat = np.concatenate(docs_l)
+                contribs = np.concatenate(contrib_l)
+                # dense accumulate over shard-local slots (no sort): every
+                # contribution is > 0, so touched slots are exactly the
+                # nonzero ones (reference's sparse `touched`, bm25.dart:633)
+                slots = docs_cat - shard * index.shard_size
+                dense = np.bincount(slots, weights=contribs)
+                nz = np.flatnonzero(dense)
+                kept_ids.append(nz + shard * index.shard_size)
+                kept_scores.append(dense[nz])
+                n_kept += len(nz)
+                if n_kept >= k_eff:
+                    all_s = np.concatenate(kept_scores)
+                    if len(all_s) >= k_eff:
+                        theta = np.partition(all_s, -k_eff)[-k_eff]
+            if not kept_ids:
+                continue
+            ids = np.concatenate(kept_ids)
+            scores = np.concatenate(kept_scores)
+            k_trim = per_partition_limit if per_partition_limit is not None else limit
+            if len(ids) > k_trim:
+                # exact top-k with (score desc, doc_id asc) tie-break
+                sel = np.lexsort((ids, -scores))[:k_trim]
+                ids, scores = ids[sel], scores[sel]
+            per_pk.append((pk, ids, scores))
+        if not per_pk:
+            continue
+        # global merge across pks (≤ limit·n_pk candidates — tiny)
+        ids_cat = np.concatenate([x[1] for x in per_pk])
+        scores_cat = np.concatenate([x[2] for x in per_pk])
+        pk_cat = np.concatenate(
+            [np.full(len(x[1]), i) for i, x in enumerate(per_pk)]
+        )
+        order = np.lexsort((ids_cat, -scores_cat))[:limit]
+        for rank, j in enumerate(order, start=1):
+            results.append(
+                (
+                    qid,
+                    per_pk[int(pk_cat[j])][0],
+                    int(ids_cat[j]),
+                    float(scores_cat[j]),
+                    rank,
+                )
+            )
+    return results
+
+
+# ---------------------------------------------------------------------------
+# Cluster path
+# ---------------------------------------------------------------------------
+
+_SCORED_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType(), False),
+        StructField("pk", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("score", DoubleType(), False),
+    ]
+)
+
+
+def _cluster_scored(
+    index: BM25Index,
+    qrows,
+    partition_keys,
+    allowed: DataFrame | None,
+    group_limit: int,
+) -> DataFrame:
+    """(query_id, pk, doc_id, score): per-(query, pk, shard) vectorized
+    scoring with per-shard top-``group_limit`` (exact — shards are disjoint
+    doc ranges, so per-shard top-k ⊇ global top-k members)."""
+    shard_size = index.shard_size
+    k1, b = index.k1, index.b
+
+    needed = sorted({t for _, t, _ in qrows})
+    p = index.packed.filter(F.col("term").isin(needed))
+    if partition_keys is not None:
+        p = p.filter(F.col("pk").isin(partition_keys))
+    q_terms = F.broadcast(_query_frame_with_idf(index, qrows, partition_keys))
+    rows = p.join(q_terms, ["pk", "term"])
+
+    has_filter = allowed is not None
+    if has_filter:
+        allowed_arr = (
+            allowed.withColumn(
+                "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
+            )
+            .groupBy("pk", "shard")
+            .agg(F.collect_list("doc_id").alias("allowed_ids"))
+        )
+        rows = rows.join(allowed_arr, ["pk", "shard"])
+
+    def score_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        qid, pk, shard = int(key[0]), key[1], int(key[2])
+        shard_base = shard * shard_size
+        avgdl = float(pdf["avgdl"].iloc[0])
+        mask_ids = None
+        if has_filter:
+            mask_ids = np.sort(np.asarray(pdf["allowed_ids"].iloc[0], dtype=np.int64))
+        docs_l, contrib_l = [], []
+        for data, n, qtf, idf in zip(pdf["data"], pdf["n"], pdf["qtf"], pdf["idf"]):
+            ids, tfs, dls = codec.unpack_postings(bytes(data), int(n), shard_base)
+            if mask_ids is not None:
+                # reference semantics: non-allowed docs skipped during
+                # traversal (bm25.dart:644)
+                keep = mask_ids[
+                    np.searchsorted(mask_ids, ids).clip(max=len(mask_ids) - 1)
+                ] == ids
+                if not keep.any():
+                    continue
+                ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+            tfs = tfs.astype(np.float64)
+            norm = (1.0 - b) + b * dls.astype(np.float64) / avgdl
+            contrib_l.append(
+                float(qtf) * float(idf) * tfs * (k1 + 1.0) / (tfs + k1 * norm)
+            )
+            docs_l.append(ids)
+        if not docs_l:
+            return pd.DataFrame(
+                {"query_id": [], "pk": [], "doc_id": [], "score": []}
+            ).astype({"query_id": np.int64, "doc_id": np.int64, "score": np.float64})
+        docs_cat = np.concatenate(docs_l)
+        contrib = np.concatenate(contrib_l)
+        uniq, inv = np.unique(docs_cat, return_inverse=True)
+        acc = np.zeros(len(uniq))
+        np.add.at(acc, inv, contrib)
+        k = min(group_limit, len(uniq))
+        if k < len(uniq):
+            idx = np.argpartition(-acc, k - 1)[:k]
+        else:
+            idx = np.arange(len(uniq))
+        return pd.DataFrame(
+            {"query_id": qid, "pk": pk, "doc_id": uniq[idx], "score": acc[idx]}
+        )
+
+    return rows.groupBy("query_id", "pk", "shard").applyInPandas(
+        score_group, schema=_SCORED_SCHEMA
+    )
 
 
 def search_packed(
@@ -122,145 +460,65 @@ def search_packed(
     partition_keys: list[str] | None = None,
     per_partition_limit: int | None = None,
     prune: bool = True,
+    force_cluster: bool = False,
 ) -> DataFrame:
     """Top-k over the packed index. Same semantics/schema as
-    searcher.search_batch. Requires pack_index() first."""
+    searcher.search_batch. Chooses the driver fast path (with shard-level
+    block-max pruning when ``prune``) or the cluster path automatically."""
     if index.packed is None:
         raise ValueError("index is not packed — call pack_index() first")
     if limit < 1:
         raise ValueError("limit must be >= 1")
     spark = index.spark
-    shard_size = index.shard_size
-    qrows = _query_frames(index, queries, stopwords)
+    qrows = _qrows(index, queries, stopwords)
     if not qrows:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    needed = sorted({t for _, t, _ in qrows})
 
-    p = index.packed.filter(F.col("term").isin(needed))
-    if partition_keys is not None:
-        p = p.filter(F.col("pk").isin(partition_keys))
-    q_terms = F.broadcast(_query_frame_with_idf(index, qrows, partition_keys))
-    rows = p.join(q_terms, ["pk", "term"])
-
-    allowed_b = None
+    allowed = None
     if flt:
         pred = _filter_predicate(index, flt)
         allowed = index.docs.filter(pred).select("pk", "doc_id")
-        # The allowed set is joined AFTER decode (exact reference semantics:
-        # filtered docs are skipped during traversal, bm25.dart:644).
-        allowed_b = allowed
 
-    k1, b = index.k1, index.b
-    group_limit = max(limit, per_partition_limit or 0)
-
-    if allowed_b is None:
-        out_schema = StructType(
-            [
-                StructField("query_id", LongType(), False),
-                StructField("pk", StringType(), False),
-                StructField("doc_id", LongType(), False),
-                StructField("score", DoubleType(), False),
-            ]
-        )
-
-        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            qid = int(pdf["query_id"].iloc[0])
-            pk = pdf["pk"].iloc[0]
-            shard_base = int(pdf["shard"].iloc[0]) * shard_size
-            # sparse accumulate: collect (doc, contribution) across terms
-            all_docs, all_contrib = [], []
-            for _, r in pdf.iterrows():
-                doc_ids, tfs, dls = codec.unpack_postings(
-                    bytes(r["data"]), int(r["n"]), shard_base
-                )
-                tfs = tfs.astype(np.float64)
-                norm = (1.0 - b) + b * dls.astype(np.float64) / r["avgdl"]
-                contrib = (
-                    r["qtf"] * r["idf"] * tfs * (k1 + 1.0) / (tfs + k1 * norm)
-                )
-                all_docs.append(doc_ids)
-                all_contrib.append(contrib)
-            docs = np.concatenate(all_docs)
-            contrib = np.concatenate(all_contrib)
-            uniq, inv = np.unique(docs, return_inverse=True)
-            acc = np.zeros(len(uniq))
-            np.add.at(acc, inv, contrib)
-            k = min(group_limit, len(uniq))
-            if k < len(uniq):
-                idx = np.argpartition(-acc, k - 1)[:k]
+    if not force_cluster:
+        terms_needed = sorted({t for _, t, _ in qrows})
+        tmeta = _term_meta(index, terms_needed, partition_keys)
+        total_df = sum(df for _, df in tmeta.values())
+        allowed_by_pk = None
+        driver_ok = total_df <= DRIVER_PATH_MAX_POSTINGS
+        if driver_ok and allowed is not None:
+            if allowed.count() <= DRIVER_PATH_MAX_ALLOWED:
+                apdf = allowed.toPandas()
+                allowed_by_pk = {
+                    pk: np.sort(g["doc_id"].to_numpy(np.int64))
+                    for pk, g in apdf.groupby("pk", sort=False)
+                }
+                if not allowed_by_pk:
+                    return spark.createDataFrame([], RESULT_SCHEMA)
             else:
-                idx = np.arange(len(uniq))
-            return pd.DataFrame(
+                driver_ok = False
+        if driver_ok:
+            rows_out = _driver_topk(
+                index, qrows, limit, partition_keys, per_partition_limit,
+                prune=prune, allowed_by_pk=allowed_by_pk,
+            )
+            if not rows_out:
+                return spark.createDataFrame([], RESULT_SCHEMA)
+            # pandas + Arrow: orders of magnitude faster than the
+            # row-tuple reflection path for driver-built results
+            pdf = pd.DataFrame(
+                rows_out, columns=["query_id", "pk", "doc_id", "score", "rank"]
+            ).astype(
                 {
-                    "query_id": qid,
-                    "pk": pk,
-                    "doc_id": uniq[idx],
-                    "score": acc[idx],
+                    "query_id": "int64",
+                    "doc_id": "int64",
+                    "score": "float64",
+                    "rank": "int32",
                 }
             )
+            return spark.createDataFrame(pdf, RESULT_SCHEMA)
 
-        scored = rows.groupBy("query_id", "pk", "shard").applyInPandas(
-            score_group, schema=out_schema
-        )
-    else:
-        # filtered path: decode -> explode -> semi-join -> JVM agg
-        decode_schema = ArrayType(
-            StructType(
-                [
-                    StructField("doc_id", LongType(), False),
-                    StructField("tf", IntegerType(), False),
-                    StructField("dl", IntegerType(), False),
-                ]
-            )
-        )
-
-        @F.pandas_udf(decode_schema)
-        def decode(data: pd.Series, n: pd.Series, shard: pd.Series) -> pd.Series:
-            out = []
-            for d, nn, s in zip(data, n, shard):
-                ids, tfs, dls = codec.unpack_postings(
-                    bytes(d), int(nn), int(s) * shard_size
-                )
-                out.append(
-                    [
-                        {"doc_id": int(i), "tf": int(t), "dl": int(l)}
-                        for i, t, l in zip(ids, tfs, dls)
-                    ]
-                )
-            return pd.Series(out)
-
-        e = rows.select(
-            "query_id",
-            "pk",
-            "qtf",
-            "idf",
-            "avgdl",
-            F.explode(decode("data", "n", "shard")).alias("post"),
-        ).select(
-            "query_id",
-            "pk",
-            "qtf",
-            "idf",
-            "avgdl",
-            F.col("post.doc_id").alias("doc_id"),
-            F.col("post.tf").alias("tf"),
-            F.col("post.dl").alias("dl"),
-        )
-        e = e.join(allowed_b, ["pk", "doc_id"], "left_semi")
-        k1c, bc = F.lit(k1), F.lit(b)
-        contrib = (
-            F.col("qtf")
-            * F.col("idf")
-            * F.col("tf")
-            * (k1c + F.lit(1.0))
-            / (
-                F.col("tf")
-                + k1c * ((F.lit(1.0) - bc) + bc * F.col("dl") / F.col("avgdl"))
-            )
-        )
-        scored = e.groupBy("query_id", "pk", "doc_id").agg(
-            F.sum(contrib).alias("score")
-        )
+    group_limit = max(limit, per_partition_limit or 0)
+    scored = _cluster_scored(index, qrows, partition_keys, allowed, group_limit)
 
     if per_partition_limit is not None:
         w_pk = Window.partitionBy("query_id", "pk").orderBy(

@@ -129,6 +129,7 @@ def search_batch(
     stopwords=None,
     partition_keys: list[str] | None = None,
     per_partition_limit: int | None = None,
+    use_packed: bool | None = None,
 ) -> DataFrame:
     """Score a batch of (query_id, query_text). Returns
     (query_id, pk, doc_id, score, rank) with rank 1..limit per query.
@@ -137,9 +138,25 @@ def search_batch(
     plain index has pk=''). ``per_partition_limit``: cap candidates per pk
     BEFORE the global top-k (reproduces searchMany's default-limit-10 inner
     searches, partitioned_bm25.dart:143-153).
+
+    ``use_packed``: None (default) routes through the packed numpy scorer
+    whenever the index carries packed postings; False forces the JVM
+    explode+agg plan over the decoded array view (kept for cross-checks).
     """
     if limit < 1:
         raise ValueError("limit must be >= 1")
+    if use_packed is not False and index.packed is not None:
+        from bm25_spark.operators.packed import search_packed
+
+        return search_packed(
+            index,
+            queries,
+            limit=limit,
+            flt=flt,
+            stopwords=stopwords,
+            partition_keys=partition_keys,
+            per_partition_limit=per_partition_limit,
+        )
     spark = index.spark
     stop = stopwords if stopwords is not None else index.stopwords
     qrows = []

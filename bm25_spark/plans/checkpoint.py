@@ -114,7 +114,7 @@ def checkpointed_build(
         for tname, df in (
             ("docs", idx.docs),
             ("terms", idx.terms),
-            ("postings", idx.postings),
+            ("postings", idx.packed if idx.packed is not None else idx.postings),
             ("stats", idx.stats),
         ):
             path = os.path.join(root, tname, f"pk={key}")
@@ -136,10 +136,16 @@ def checkpointed_build(
     return summary
 
 
-def read_checkpointed_index(spark: SparkSession, root: str):
+def read_checkpointed_index(spark: SparkSession, root: str, shard_size: int | None = None):
     """Load an index written by checkpointed_build (pk recovered from the
     partition directories)."""
-    from bm25_spark.operators.indexer import BM25Index
+    from bm25_spark.operators.indexer import (
+        DEFAULT_SHARD_SIZE,
+        BM25Index,
+        decoded_postings_view,
+    )
+
+    shard_size = shard_size or DEFAULT_SHARD_SIZE
 
     def rd(tname: str) -> DataFrame:
         df = spark.read.option("basePath", os.path.join(root, tname)).parquet(
@@ -147,11 +153,19 @@ def read_checkpointed_index(spark: SparkSession, root: str):
         )
         return df.withColumn("pk", F.col("pk").cast("string"))
 
+    post = rd("postings")
+    packed = post if "data" in post.columns else None
     return BM25Index(
         spark=spark,
         docs=rd("docs"),
         terms=rd("terms"),
-        postings=rd("postings"),
+        postings=(
+            decoded_postings_view(packed, shard_size)
+            if packed is not None
+            else post
+        ),
+        packed=packed,
         stats=rd("stats"),
         partitioned=True,
+        shard_size=shard_size,
     )

@@ -15,7 +15,8 @@ def get_spark(
     app: str = "bm25-spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
-    driver_memory: str = "48g",
+    driver_memory: str = "16g",  # oversizing the heap (48g) triggered
+    # multi-second GC/page-fault stalls on every post-build action
     extra: dict | None = None,
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

@@ -22,7 +22,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bm25_spark.functions.analyzer import make_tokenize_udf
+from bm25_spark.functions.analyzer import make_doc_terms_udf
 from bm25_spark.operators.docids import assign_doc_ids
 
 
@@ -45,7 +45,7 @@ def stream_ingest(
     stream. Each segment holds docs rows (with terms+dl) for later global
     compaction."""
     stop = frozenset(stopwords) if stopwords else None
-    tok = make_tokenize_udf(stop)
+    doc_terms = make_doc_terms_udf(stop)
     checkpoint_dir = checkpoint_dir or os.path.join(root, "_checkpoint")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -61,8 +61,14 @@ def stream_ingest(
         base = assign_doc_ids(batch_df, order_cols=order_cols)
         seg = (
             base.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
-            .withColumn("terms", tok(F.col(text_col)))
-            .withColumn("dl", F.size("terms"))
+            .withColumn("z", doc_terms(F.col(text_col)))
+            .select(
+                "*",
+                F.col("z.dl").alias("dl"),
+                F.col("z.terms").alias("terms"),
+                F.col("z.tfs").alias("tfs"),
+            )
+            .drop("z")
         )
         # idempotent: re-run of the same batch_id overwrites the same dir
         seg.write.mode("overwrite").parquet(_segment_path(root, batch_id))
@@ -88,56 +94,21 @@ def compact_segments(
     shard_size: int = 1 << 20,
     partition_col: str | None = None,
 ):
-    """Merge all segments into a BM25Index with global statistics."""
-    from bm25_spark.operators.indexer import BM25Index
+    """Merge all segments into a BM25Index with global statistics.
+    Segments already carry per-doc term counts, so compaction reuses the
+    batch assembly (narrow explode + pack-merge shuffle)."""
+    from bm25_spark.operators.indexer import assemble_index
 
     seg = spark.read.parquet(os.path.join(root, "segments", "segment=*"))
     pk_expr = (
         F.col(partition_col).cast("string") if partition_col else F.lit("")
     )
-    docs = seg.withColumn("pk", pk_expr)
-    flat = (
-        docs.select("pk", "doc_id", "dl", F.explode("terms").alias("term"))
-        .groupBy("pk", "term", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
-    )
-    docs_out = docs.drop("terms")
-    stats = docs_out.groupBy("pk").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    terms = (
-        flat.groupBy("pk", "term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .join(F.broadcast(stats.select("pk", "n_docs")), "pk")
-        .withColumn(
-            "idf",
-            F.log(
-                (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-                + F.lit(1.0)
-            ),
-        )
-        .drop("n_docs")
-    )
-    postings = (
-        flat.withColumn("shard", (F.col("doc_id") / F.lit(shard_size)).cast("int"))
-        .groupBy("pk", "term", "shard")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl"))).alias(
-                "postings"
-            )
-        )
-    )
-    return BM25Index(
-        spark=spark,
-        docs=docs_out,
-        terms=terms,
-        postings=postings,
-        stats=stats,
+    enc = seg.withColumn("pk", pk_expr)
+    return assemble_index(
+        enc,
         k1=k1,
         b=b,
         index_fields=tuple(index_fields),
         partitioned=partition_col is not None,
         shard_size=shard_size,
-        flat=flat,
     )
