@@ -246,6 +246,46 @@ def q_empty_query(spark, sf_dir):
     )
 
 
+def q_search_many(spark, sf_dir):
+    """O18: multi-partition search + k-way merge with the reference's
+    per-partition default-limit-10 quirk (partitioned_bm25.dart:143-153).
+    Per-partition cut and global rank both computed over ROUNDED scores so
+    Spark and DuckDB cannot diverge on float last-bits."""
+    from bm25_spark.operators.searcher import search_batch
+
+    idx = _index(spark, sf_dir, partition_col="lang")
+    n = _read_docs(spark, sf_dir).count()
+    res = search_batch(
+        idx, [(0, FLAGSHIP_QUERY)], limit=n, partition_keys=["en", "fr"]
+    )
+    r = res.select(
+        F.col("pk").alias("lang"), "doc_id", F.round("score", 4).alias("score")
+    )
+    w_pk = Window.partitionBy("lang").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        r.withColumn("prank", F.row_number().over(w_pk))
+        .filter(F.col("prank") <= 10)
+        .drop("prank")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+    )
+
+
+def q_feedback(spark, sf_dir):
+    """O19 Rocchio feedback (rows-only: the expanded query depends on doc
+    texts at runtime, so no static SQL oracle — extensions.dart:22-139)."""
+    from bm25_spark.operators.feedback import search_with_feedback
+
+    idx = _index(spark, sf_dir)
+    res = search_with_feedback(
+        idx, FLAGSHIP_QUERY, relevant_doc_ids=[0, 1, 2], limit=TOPK
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score"), "rank")
+
+
 # ----------------------------------------------------- training-data ops
 
 NEARDUP_COS = 0.3  # synthetic embeddings: max pair cosine ~0.51
@@ -362,6 +402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_filtered": q_topk_filtered,
         "bm25_partitioned_stats": q_partitioned_stats,
         "bm25_search_in": q_search_in,
+        "bm25_search_many": q_search_many,
+        "bm25_feedback": q_feedback,
         "bm25_empty_query": q_empty_query,
         "ts_token_stats": q_token_stats,
         "ts_quality": q_quality,
@@ -457,6 +499,32 @@ idf AS (
 )
 """
         + topk_tail,
+        "bm25_search_many": part_base
+        + f"""
+, q AS {_q_values(FLAGSHIP_QUERY)}
+, scored AS (
+  SELECT tf.pk, tf.doc_id,
+         sum(q.qtf * idf.idf * tf.tf * ({K1} + 1.0)
+             / (tf.tf + {K1} * ((1.0 - {B}) + {B} * dl.dl / s.avgdl))) AS score
+  FROM tf
+  JOIN q USING (term)
+  JOIN idf ON idf.pk = tf.pk AND idf.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN stats s ON s.pk = tf.pk
+  WHERE tf.pk IN ('en', 'fr')
+  GROUP BY tf.pk, tf.doc_id
+)
+, r AS (SELECT pk AS lang, doc_id, round(score, 4) AS score FROM scored)
+, pp AS (
+  SELECT * FROM r
+  QUALIFY row_number() OVER (
+    PARTITION BY lang ORDER BY score DESC, doc_id ASC) <= 10
+)
+SELECT lang, doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+         AS rank
+FROM pp QUALIFY rank <= {TOPK}
+""",
         "bm25_empty_query": "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE FALSE",
         **_training_ops_oracles(),
     }

@@ -74,6 +74,21 @@ DOC_TERMS_SCHEMA = StructType(
 )
 
 
+def make_dl_udf(stopwords=None):
+    """text -> dl (post-filter token count, the reference's doc length —
+    bm25.dart:427). Scalar-only return: the docs/stats pipeline never ships
+    token arrays back across the Arrow boundary."""
+    stop = frozenset(stopwords) if stopwords else None
+
+    @F.pandas_udf(IntegerType())
+    def dl_of(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [len(tokenize_text(t, stop)) for t in texts], index=texts.index
+        )
+
+    return dl_of
+
+
 def make_doc_terms_udf(stopwords=None):
     """text -> struct(dl, terms: array<string>, tfs: array<int>) — the
     distinct terms of the doc with their in-doc frequencies, parallel-array

@@ -25,30 +25,34 @@ import numpy as np
 BLOCK = 128
 
 
-def encode_varints(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, vectorized."""
+def encode_varints(
+    values: np.ndarray, return_lengths: bool = False
+):
+    """LEB128-encode a uint64 array, vectorized. With ``return_lengths``,
+    also returns the per-value byte counts (for slicing a bulk encode into
+    per-run blobs)."""
     v = values.astype(np.uint64)
     n = len(v)
     if n == 0:
-        return b""
-    # max 10 bytes per uint64
-    nbytes = np.maximum((_bit_length(v) + 6) // 7, 1).astype(np.int64)
-    total = int(nbytes.sum())
-    out = np.zeros(total, dtype=np.uint8)
-    pos = np.zeros(n, dtype=np.int64)
-    pos[1:] = np.cumsum(nbytes)[:-1]
+        return (b"", np.empty(0, np.int64)) if return_lengths else b""
+    # byte count per value: 1 + one per 7-bit threshold crossed (max 10)
+    nbytes = np.ones(n, dtype=np.int64)
+    for t in range(7, 64, 7):
+        nbytes += (v >= (np.uint64(1) << np.uint64(t))).astype(np.int64)
+    width = int(nbytes.max())
+    # (n, width) little-endian 7-bit groups, built in `width` vectorized
+    # passes over ALL values (no per-iteration compaction/nonzero)
+    mat = np.empty((n, width), dtype=np.uint8)
     rem = v.copy()
-    offset = np.zeros(n, dtype=np.int64)
-    active = np.ones(n, dtype=bool)
-    while active.any():
-        idx = np.nonzero(active)[0]
-        byte = (rem[idx] & np.uint64(0x7F)).astype(np.uint8)
-        rem[idx] >>= np.uint64(7)
-        more = rem[idx] != 0
-        out[pos[idx] + offset[idx]] = byte | (more.astype(np.uint8) << 7)
-        offset[idx] += 1
-        active[idx] = more
-    return out.tobytes()
+    for j in range(width):
+        mat[:, j] = (rem & np.uint64(0x7F)).astype(np.uint8)
+        rem >>= np.uint64(7)
+    cols = np.arange(width, dtype=np.int64)[None, :]
+    keep = cols < nbytes[:, None]
+    cont = cols < (nbytes - 1)[:, None]
+    mat |= cont.astype(np.uint8) << 7
+    buf = mat[keep].tobytes()
+    return (buf, nbytes) if return_lengths else buf
 
 
 def decode_varints(buf: bytes) -> np.ndarray:
@@ -150,3 +154,36 @@ def pack_run(
 
 
 unpack_run = unpack_postings  # identical layout
+
+
+def pack_runs_bulk(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    bases: np.ndarray,
+) -> list[bytes]:
+    """Pack MANY doc-sorted runs in one vectorized pass (the map side of
+    the two-stage postings build — one encode_varints call regardless of
+    how many (term, shard) runs the task holds; per-run blobs are byte
+    slices of the bulk buffer).
+
+    ``starts``/``ends``: run boundaries into the flat arrays (runs must be
+    contiguous and internally doc-sorted); ``bases``: per-run shard base."""
+    n = len(doc_ids)
+    if n == 0:
+        return []
+    doc_ids = doc_ids.astype(np.int64)
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[1:] = np.diff(doc_ids)
+    deltas[starts] = doc_ids[starts] - bases
+    interleaved = np.empty(3 * n, dtype=np.uint64)
+    interleaved[0::3] = deltas.astype(np.uint64)
+    interleaved[1::3] = tfs.astype(np.uint64)
+    interleaved[2::3] = dls.astype(np.uint64)
+    buf, nbytes = encode_varints(interleaved, return_lengths=True)
+    cum = np.concatenate(([0], np.cumsum(nbytes)))
+    return [
+        buf[cum[3 * s] : cum[3 * e]] for s, e in zip(starts, ends)
+    ]

@@ -47,7 +47,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from bm25_spark.functions.analyzer import make_doc_terms_udf
+from bm25_spark.functions.analyzer import make_dl_udf
 from bm25_spark.operators.docids import assign_doc_ids
 
 DEFAULT_K1 = 1.2
@@ -74,8 +74,14 @@ class BM25Index:
     enc: DataFrame | None = None  # tokenized docs (with per-doc term counts)
 
     def _physical(self) -> tuple[DataFrame, ...]:
+        """Index tables in DEPENDENCY order (stats -> postings -> terms ->
+        docs). Spark's CacheManager freezes a persisted plan's physical form
+        at registration time, so a downstream table must be registered
+        AFTER its upstream or its frozen plan will recompute the upstream
+        instead of reading the cache (terms derives from packed, packed
+        from stats)."""
         post = self.packed if self.packed is not None else self.postings
-        return (self.docs, self.terms, post, self.stats)
+        return (self.stats, post, self.terms, self.docs)
 
     def persist(self) -> "BM25Index":
         for df in self._physical():
@@ -94,10 +100,9 @@ class BM25Index:
             pin.persist(StorageLevel.MEMORY_AND_DISK)
             pin.count()
         self.persist()
-        docs, terms, post, stats = self._physical()
-        for df in (stats, post, terms, docs):
+        for df in self._physical():
             df.count()
-        if pin is not None:
+        if pin is not None and pin is not self.docs:
             pin.unpersist()
         return self
 
@@ -130,7 +135,6 @@ def build_index(
     carries stable ids).
     """
     stop = frozenset(stopwords) if stopwords else None
-    doc_terms = make_doc_terms_udf(stop)
 
     if id_col is not None:
         base = transcripts.withColumn("doc_id", F.col(id_col).cast("long"))
@@ -139,17 +143,19 @@ def build_index(
     pk_expr = (
         F.col(partition_col).cast("string") if partition_col else F.lit("")
     )
-    # per-doc term counts come out of the tokenizer UDF itself, so the
-    # (doc, term, tf) relation below is a NARROW explode — no shuffle of raw
-    # token occurrences (the reference's per-doc TF map, bm25.dart:426-433).
-    enc = (
-        base.withColumn("pk", pk_expr)
-        .withColumn("z", doc_terms(F.col(text_col)))
-        .select("*", F.col("z.dl").alias("dl"), F.col("z.terms").alias("terms"), F.col("z.tfs").alias("tfs"))
-        .drop("z")
-    )
-    return assemble_index(
-        enc,
+    src = base.withColumn("pk", pk_expr)
+    # Single pass over the text for the whole index critical path: the
+    # fused tokenize+count+pack map stage also emits per-task doc-count /
+    # Σdl sentinel rows, so corpus statistics (n_docs, avgdl) come from the
+    # SAME scan — no separate tokenize pass before packing can start.
+    runs, stats, packed = _pack_pipeline(src, shard_size, k1, b, text_col, stop)
+    # the docs table's per-doc dl is a scalar-only UDF pass, off the
+    # critical path (query-time metadata filters read this table)
+    docs_out = src.withColumn("dl", make_dl_udf(stop)(F.col(text_col)))
+    return _finish_index(
+        docs_out,
+        stats,
+        packed,
         k1=k1,
         b=b,
         index_fields=index_fields,
@@ -157,42 +163,24 @@ def build_index(
         partitioned=partition_col is not None,
         text_col=text_col,
         shard_size=shard_size,
+        pin=runs,
     )
 
 
-def assemble_index(
-    enc: DataFrame,
-    k1: float = DEFAULT_K1,
-    b: float = DEFAULT_B,
-    index_fields: tuple[str, ...] = (),
-    stopwords=None,
-    partitioned: bool = False,
-    text_col: str = "text",
-    shard_size: int = DEFAULT_SHARD_SIZE,
+def _finish_index(
+    docs_out: DataFrame,
+    stats: DataFrame,
+    packed: DataFrame,
+    k1: float,
+    b: float,
+    index_fields: tuple[str, ...],
+    stopwords,
+    partitioned: bool,
+    text_col: str,
+    shard_size: int,
+    pin: DataFrame | None = None,
 ) -> BM25Index:
-    """Assemble the index star from tokenized docs ``enc`` carrying
-    (pk, doc_id, dl, terms: array<string>, tfs: array<int>, ...). Shared by
-    the batch build and streaming segment compaction."""
-    spark = enc.sparkSession
-    flat = enc.select(
-        "pk",
-        "doc_id",
-        "dl",
-        F.explode(F.arrays_zip("terms", "tfs")).alias("t"),
-    ).select(
-        "pk",
-        F.col("t.terms").alias("term"),
-        "doc_id",
-        "dl",
-        F.col("t.tfs").cast("int").alias("tf"),
-    )
-    docs_out = enc.drop("terms", "tfs")
-
-    stats = docs_out.groupBy("pk").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
-    packed = _packed_postings(flat, stats, shard_size, k1, b)
+    spark = docs_out.sparkSession
     # df(t) = Σ_shard n — read off the packed index (30 rows per term·shard,
     # not another pass over the (doc, term) relation).
     terms = (
@@ -210,6 +198,16 @@ def assemble_index(
         .drop("n_docs")
     )
     postings = decoded_postings_view(packed, shard_size)
+    # (pk, term, doc_id, dl, tf) debug/contract view, decoded on demand
+    flat = postings.select(
+        "pk", "term", F.explode("postings").alias("p")
+    ).select(
+        "pk",
+        "term",
+        F.col("p.doc_id").alias("doc_id"),
+        F.col("p.dl").alias("dl"),
+        F.col("p.tf").alias("tf"),
+    )
     return BM25Index(
         spark=spark,
         docs=docs_out,
@@ -224,7 +222,7 @@ def assemble_index(
         text_col=text_col,
         shard_size=shard_size,
         flat=flat,
-        enc=enc,
+        enc=pin,
         packed=packed,
     )
 
@@ -248,98 +246,213 @@ _RUN_SCHEMA = StructType(
         StructField("shard", IntegerType(), False),
         StructField("n", IntegerType(), False),
         StructField("data", BinaryType(), False),
+        StructField("sum_dl", LongType(), False),
     ]
 )
 
+# sentinel term for per-task doc-stats rows in the runs table; real tokens
+# are always >= 2 chars (bm25.dart:712), so "" cannot collide
+_STATS_TERM = ""
 
-def _packed_postings(
-    flat: DataFrame, stats: DataFrame, shard_size: int, k1: float, b: float
-) -> DataFrame:
+
+def _pack_pipeline(
+    src: DataFrame,
+    shard_size: int,
+    k1: float,
+    b: float,
+    text_col: str = "text",
+    stopwords=None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Two-stage pack-merge postings build (the index build's only wide
     shuffle, Lucene-segment style):
 
-    1. map side (narrow): within each input partition, group its (doc, term,
-       tf, dl) rows by (pk, term, shard) and delta+varint-pack each doc-sorted
-       run. The shuffle then moves COMPRESSED RUS — orders of magnitude
-       less than shuffling raw posting rows, and hot Zipf terms are already
-       split by doc-range shard so no single reducer key explodes.
-    2. reduce side: merge-sort the ≤P runs per (pk, term, shard) and re-pack
-       with block-max metadata (codec.pack_postings).
+    1. map side (narrow, ``mapInArrow`` straight off the corpus): tokenize +
+       per-doc TF count (the reference's per-doc map, bm25.dart:426-433)
+       and pack in ONE fused stage — text crosses the Arrow boundary once,
+       token arrays never materialize JVM-side. Grouping is a term-code
+       lexsort; ONE bulk varint encode is sliced into per-(pk, term, shard)
+       run blobs. The shuffle then moves COMPRESSED RUNS — orders of
+       magnitude less than shuffling raw posting rows, and hot Zipf terms
+       are already split by doc-range shard so no single reducer key
+       explodes.
+    2. reduce side: repartition the runs by (pk, term, shard) and
+       merge-sort each group's runs + re-pack with block-max metadata
+       (codec.pack_postings).
 
     The reference's analog is the single-threaded posting builder
     (lib/src/bm25.dart:437-468); shards (contiguous doc-id ranges) make the
     merge exact: per-shard doc order concatenates to global doc order."""
-    from bm25_spark.functions import codec
+    import pyarrow as pa
 
-    def partial_pack(iterator):
-        batches = [pdf for pdf in iterator if len(pdf)]
-        if not batches:
+    from bm25_spark.functions import codec
+    from bm25_spark.functions.analyzer import tokenize_text
+
+    stop = frozenset(stopwords) if stopwords else None
+
+    def partial_pack(batches):
+        from collections import Counter
+
+        term_code: dict[str, int] = {}
+        vocab: list[str] = []
+        pk_code: dict[str, int] = {}
+        pk_vals: list[str] = []
+        # per-pk doc stats for this task's slice — emitted as sentinel rows
+        # so n_docs/avgdl derive from this same pass (empty docs count too)
+        pk_ndocs: dict[str, int] = {}
+        pk_sumdl: dict[str, int] = {}
+        codes_l, docs_l, tfs_l, dls_l, pks_l = [], [], [], [], []
+        for rb in batches:
+            cols = dict(zip(rb.schema.names, rb.columns))
+            texts = cols[text_col].to_pylist()
+            ids = cols["doc_id"].to_numpy().astype(np.int64)
+            pks = cols["pk"].to_pylist()
+            for text, doc_id, pk in zip(texts, ids, pks):
+                c = Counter(tokenize_text(text, stop))
+                dl = sum(c.values())
+                pk_ndocs[pk] = pk_ndocs.get(pk, 0) + 1
+                pk_sumdl[pk] = pk_sumdl.get(pk, 0) + dl
+                if not c:
+                    continue
+                pc_ = pk_code.get(pk)
+                if pc_ is None:
+                    pc_ = pk_code[pk] = len(pk_vals)
+                    pk_vals.append(pk)
+                for term, tf in c.items():
+                    tc = term_code.get(term)
+                    if tc is None:
+                        tc = term_code[term] = len(vocab)
+                        vocab.append(term)
+                    codes_l.append(tc)
+                    tfs_l.append(tf)
+                docs_l.append(np.full(len(c), doc_id, dtype=np.int64))
+                dls_l.append(np.full(len(c), dl, dtype=np.int64))
+                pks_l.append(np.full(len(c), pc_, dtype=np.int64))
+        if pk_ndocs:
+            sent_pks = sorted(pk_ndocs)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(sent_pks, pa.string()),
+                    pa.array([_STATS_TERM] * len(sent_pks), pa.string()),
+                    pa.array([0] * len(sent_pks), pa.int32()),
+                    pa.array([pk_ndocs[p] for p in sent_pks], pa.int32()),
+                    pa.array([b""] * len(sent_pks), pa.binary()),
+                    pa.array([pk_sumdl[p] for p in sent_pks], pa.int64()),
+                ],
+                names=["pk", "term", "shard", "n", "data", "sum_dl"],
+            )
+        if not codes_l:
             return
-        pdf = pd.concat(batches) if len(batches) > 1 else batches[0]
-        pks, terms_c, shards_c, ns, datas = [], [], [], [], []
-        for (pk, term, shard), g in pdf.groupby(
-            ["pk", "term", "shard"], sort=False
-        ):
-            ids = g["doc_id"].to_numpy(np.int64)
+        codes = np.asarray(codes_l, dtype=np.int64)
+        tf_flat = np.asarray(tfs_l, dtype=np.int64)
+        doc_flat = np.concatenate(docs_l)
+        dl_flat = np.concatenate(dls_l)
+        pk_codes = np.concatenate(pks_l)
+        shard = (doc_flat // shard_size).astype(np.int64)
+        order = np.lexsort((doc_flat, shard, codes, pk_codes))
+        doc_s, tf_s, dl_s = doc_flat[order], tf_flat[order], dl_flat[order]
+        code_s, pk_s, shard_s = codes[order], pk_codes[order], shard[order]
+        bmask = np.empty(len(order), dtype=bool)
+        bmask[0] = True
+        bmask[1:] = (
+            (pk_s[1:] != pk_s[:-1])
+            | (code_s[1:] != code_s[:-1])
+            | (shard_s[1:] != shard_s[:-1])
+        )
+        starts = np.flatnonzero(bmask)
+        ends = np.append(starts[1:], len(order))
+        bases = shard_s[starts] * shard_size
+        blobs = codec.pack_runs_bulk(doc_s, tf_s, dl_s, starts, ends, bases)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([pk_vals[c] for c in pk_s[starts]], pa.string()),
+                pa.array([vocab[c] for c in code_s[starts]], pa.string()),
+                pa.array(shard_s[starts].astype(np.int32), pa.int32()),
+                pa.array((ends - starts).astype(np.int32), pa.int32()),
+                pa.array(blobs, pa.binary()),
+                pa.array([0] * len(starts), pa.int64()),
+            ],
+            names=["pk", "term", "shard", "n", "data", "sum_dl"],
+        )
+
+    runs = src.select("pk", "doc_id", F.col(text_col)).mapInArrow(
+        partial_pack, schema=_RUN_SCHEMA
+    )
+
+    stats = (
+        runs.filter(F.col("term") == _STATS_TERM)
+        .groupBy("pk")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            (F.sum("sum_dl") / F.sum("n")).alias("avgdl"),
+        )
+    )
+
+    def merge_runs(batches):
+        groups: dict[tuple, list] = {}
+        avgdls: dict[str, float] = {}
+        for rb in batches:
+            cols = dict(zip(rb.schema.names, rb.columns))
+            pk_a = cols["pk"].to_pylist()
+            term_a = cols["term"].to_pylist()
+            shard_a = cols["shard"].to_pylist()
+            n_a = cols["n"].to_pylist()
+            data_a = cols["data"].to_pylist()
+            av_a = cols["avgdl"].to_pylist()
+            for pk, term, shard, n, data, av in zip(
+                pk_a, term_a, shard_a, n_a, data_a, av_a
+            ):
+                groups.setdefault((pk, term, shard), []).append((n, data))
+                avgdls[pk] = av
+        if not groups:
+            return
+        pks, terms_o, shards_o, ns, datas, bls, bms = [], [], [], [], [], [], []
+        for (pk, term, shard), lst in groups.items():
+            base = int(shard) * shard_size
+            ids_l, tfs_l, dls_l = [], [], []
+            for n, data in lst:
+                i, t, d = codec.unpack_run(bytes(data), int(n), base)
+                ids_l.append(i)
+                tfs_l.append(t)
+                dls_l.append(d)
+            ids = np.concatenate(ids_l)
+            tfs = np.concatenate(tfs_l).astype(np.int64)
+            dls = np.concatenate(dls_l).astype(np.int64)
             order = np.argsort(ids, kind="stable")
-            data = codec.pack_run(
-                ids[order],
-                g["tf"].to_numpy(np.int64)[order],
-                g["dl"].to_numpy(np.int64)[order],
-                int(shard) * shard_size,
+            data, n, bl, bm = codec.pack_postings(
+                ids[order], tfs[order], dls[order], base, k1, b,
+                float(avgdls[pk]),
             )
             pks.append(pk)
-            terms_c.append(term)
-            shards_c.append(shard)
-            ns.append(len(ids))
+            terms_o.append(term)
+            shards_o.append(shard)
+            ns.append(n)
             datas.append(data)
-        yield pd.DataFrame(
-            {"pk": pks, "term": terms_c, "shard": shards_c, "n": ns, "data": datas}
+            bls.append(bl)
+            bms.append(bm)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(pks, pa.string()),
+                pa.array(terms_o, pa.string()),
+                pa.array(np.asarray(shards_o, np.int32), pa.int32()),
+                pa.array(np.asarray(ns, np.int32), pa.int32()),
+                pa.array(datas, pa.binary()),
+                pa.array(bls, pa.list_(pa.int64())),
+                pa.array(bms, pa.list_(pa.float64())),
+            ],
+            names=["pk", "term", "shard", "n", "data", "block_last", "block_max"],
         )
 
-    runs = flat.withColumn(
-        "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
-    ).mapInPandas(partial_pack, schema=_RUN_SCHEMA)
-
-    def merge_group(key, pdf):
-        pk, term, shard = key
-        base = int(shard) * shard_size
-        ids_l, tfs_l, dls_l = [], [], []
-        for data, n in zip(pdf["data"], pdf["n"]):
-            i, t, d = codec.unpack_run(bytes(data), int(n), base)
-            ids_l.append(i)
-            tfs_l.append(t)
-            dls_l.append(d)
-        ids = np.concatenate(ids_l)
-        tfs = np.concatenate(tfs_l).astype(np.int64)
-        dls = np.concatenate(dls_l).astype(np.int64)
-        order = np.argsort(ids, kind="stable")
-        data, n, bl, bm = codec.pack_postings(
-            ids[order],
-            tfs[order],
-            dls[order],
-            base,
-            k1,
-            b,
-            float(pdf["avgdl"].iloc[0]),
-        )
-        return pd.DataFrame(
-            {
-                "pk": [pk],
-                "term": [term],
-                "shard": [shard],
-                "n": [n],
-                "data": [data],
-                "block_last": [bl],
-                "block_max": [bm],
-            }
-        )
-
-    return (
-        runs.join(F.broadcast(stats.select("pk", "avgdl")), "pk")
-        .groupBy("pk", "term", "shard")
-        .applyInPandas(merge_group, schema=PACKED_SCHEMA)
+    # explicit partition count: AQE would coalesce this exchange to ~1 task
+    # (compressed runs LOOK tiny) and serialize the decode+merge work
+    spark = src.sparkSession
+    n_merge = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    packed = (
+        runs.filter(F.col("term") != _STATS_TERM)
+        .join(F.broadcast(stats.select("pk", "avgdl")), "pk")
+        .repartition(n_merge, "pk", "term", "shard")
+        .mapInArrow(merge_runs, schema=PACKED_SCHEMA)
     )
+    return runs, stats, packed
 
 
 def decoded_postings_view(packed: DataFrame, shard_size: int) -> DataFrame:
@@ -406,10 +519,18 @@ def write_index(index: BM25Index, root: str, mode: str = "overwrite") -> None:
     The postings table is the PACKED form (delta+varint blobs + block-max);
     readers re-derive the array view lazily."""
     p = IndexPaths(root)
-    index.docs.write.mode(mode).partitionBy("pk").parquet(p.docs)
-    index.terms.write.mode(mode).partitionBy("pk").parquet(p.terms)
-    post = index.packed if index.packed is not None else index.postings
-    post.write.mode(mode).partitionBy("pk").parquet(p.postings)
+
+    def w(df, path):
+        # hive partitioning treats pk='' (the single-partition sentinel) as
+        # NULL on read — only layout by pk for genuinely partitioned indexes
+        wr = df.write.mode(mode)
+        if index.partitioned:
+            wr = wr.partitionBy("pk")
+        wr.parquet(path)
+
+    w(index.docs, p.docs)
+    w(index.terms, p.terms)
+    w(index.packed if index.packed is not None else index.postings, p.postings)
     index.stats.write.mode(mode).parquet(p.stats)
 
 

@@ -143,12 +143,44 @@ def _qrows(index: BM25Index, queries, stopwords):
 # ---------------------------------------------------------------------------
 
 
+def warm_query_caches(index: BM25Index, max_terms: int = 100_000) -> bool:
+    """Preload the ENTIRE term dictionary + shard metadata into the driver
+    caches (what a search head does at startup). After warming, no query
+    pays a dictionary-probe Spark job — including queries with unknown
+    terms (a complete dictionary proves absence). Skipped (returns False)
+    when the vocabulary exceeds ``max_terms``; per-term lazy probes with
+    parquet term-pushdown remain the scale path."""
+    if index.terms.count() > max_terms:
+        return False
+    tcache: dict = {}
+    for r in index.terms.select("pk", "term", "idf", "df").collect():
+        tcache.setdefault(r["term"], {})[r["pk"]] = (float(r["idf"]), int(r["df"]))
+    scache: dict = {}
+    for r in index.packed.select("pk", "term", "shard", "n", "block_max").collect():
+        scache.setdefault(r["term"], {}).setdefault(r["pk"], []).append(
+            (int(r["shard"]), int(r["n"]), float(max(r["block_max"])))
+        )
+    # wholesale replace — appending onto entries from earlier lazy probes
+    # would duplicate shard meta (and double scores)
+    index.__dict__["_term_meta_cache"] = tcache
+    index.__dict__["_shard_meta_cache"] = scache
+    from bm25_spark.operators.searcher import _stats_map
+
+    _stats_map(index, None)
+    index.__dict__["_dict_complete"] = True
+    return True
+
+
 def _term_meta(index: BM25Index, terms_needed, partition_keys):
     """(pk, term) -> (idf, df) via the term dictionary, cached on the index
     (the driver-side analog of the reference's dictionary probe,
     bm25.dart:637)."""
     cache = index.__dict__.setdefault("_term_meta_cache", {})
     missing = [t for t in terms_needed if t not in cache]
+    if missing and index.__dict__.get("_dict_complete"):
+        for t in missing:
+            cache[t] = {}
+        missing = []
     if missing:
         for t in missing:
             cache[t] = {}
@@ -172,6 +204,10 @@ def _shard_meta(index: BM25Index, terms_needed, partition_keys):
     max block_max over the shard. Cached; blobs are NOT fetched here."""
     cache = index.__dict__.setdefault("_shard_meta_cache", {})
     missing = [t for t in terms_needed if t not in cache]
+    if missing and index.__dict__.get("_dict_complete"):
+        for t in missing:
+            cache[t] = {}
+        missing = []
     if missing:
         for t in missing:
             cache[t] = {}
@@ -192,34 +228,45 @@ def _shard_meta(index: BM25Index, terms_needed, partition_keys):
     return out
 
 
-def _fetch_blobs(index: BM25Index, wanted: set[tuple[str, str, int]]):
-    """Fetch + decode packed blobs for the given (pk, term, shard) keys,
-    with a decoded-postings cache on the index. The Spark scan is pruned by
-    the term IN (...) predicate (parquet min-max + dictionary)."""
-    cache = index.__dict__.setdefault("_blob_cache", {})
-    if len(cache) > 4096:  # bound driver memory; refetch is cheap
+def _fetch_raw_blobs(index: BM25Index, wanted: set[tuple[str, str, int]]) -> None:
+    """Fetch packed blobs (raw bytes) for the given (pk, term, shard) keys
+    into the driver cache — ONE Spark collect for all of them (the scan is
+    pruned by the term IN (...) predicate: parquet min-max + dictionary).
+    Decoding happens lazily per shard in ``_decoded`` so block-max pruning
+    skips the decode cost of shards it rules out."""
+    cache = index.__dict__.setdefault("_raw_blob_cache", {})
+    if len(cache) > 65536:  # bound driver memory; refetch is cheap
         cache.clear()
+        index.__dict__.get("_decoded_cache", {}).clear()
     missing = [k for k in wanted if k not in cache]
     if missing:
         terms_m = sorted({t for _, t, _ in missing})
         pks_m = sorted({p for p, _, _ in missing})
-        shards_m = sorted({s for _, _, s in missing})
         rows = (
             index.packed.filter(
-                F.col("term").isin(terms_m)
-                & F.col("pk").isin(pks_m)
-                & F.col("shard").isin(shards_m)
+                F.col("term").isin(terms_m) & F.col("pk").isin(pks_m)
             )
             .select("pk", "term", "shard", "n", "data")
             .collect()
         )
         for r in rows:
             key = (r["pk"], r["term"], int(r["shard"]))
-            ids, tfs, dls = codec.unpack_postings(
-                bytes(r["data"]), int(r["n"]), int(r["shard"]) * index.shard_size
-            )
-            cache[key] = (ids, tfs, dls)
-    return {k: cache[k] for k in wanted if k in cache}
+            cache[key] = (int(r["n"]), bytes(r["data"]))
+
+
+def _decoded(index: BM25Index, key: tuple[str, str, int]):
+    """Decoded (doc_ids, tfs, dls) for one (pk, term, shard), from cache."""
+    dcache = index.__dict__.setdefault("_decoded_cache", {})
+    hit = dcache.get(key)
+    if hit is not None:
+        return hit
+    raw = index.__dict__.get("_raw_blob_cache", {}).get(key)
+    if raw is None:
+        return None
+    n, data = raw
+    out = codec.unpack_postings(data, n, key[2] * index.shard_size)
+    dcache[key] = out
+    return out
 
 
 def _driver_topk(
@@ -244,6 +291,17 @@ def _driver_topk(
     by_query: dict[int, list[tuple[str, int]]] = {}
     for qid, term, qtf in qrows:
         by_query.setdefault(qid, []).append((term, qtf))
+
+    # ONE fetch job for every blob any query in the batch might touch;
+    # pruning below skips the DECODE of ruled-out shards (at cluster scale
+    # the fetch itself is also pruned — that's the cluster path's job)
+    prefetch = {
+        (pk, t, shard)
+        for (pk, t) in tmeta
+        for shard, _, _ in smeta.get((pk, t), ())
+    }
+    if prefetch:
+        _fetch_raw_blobs(index, prefetch)
 
     results: list[tuple] = []
     for qid, tq in sorted(by_query.items()):
@@ -286,11 +344,9 @@ def _driver_topk(
             for shard in order:
                 if prune and n_kept >= k_eff and shard_ub[shard] <= theta:
                     break
-                wanted = {(pk, t, shard) for t, _, _ in shard_terms[shard]}
-                blobs = _fetch_blobs(index, wanted)
                 docs_l, contrib_l = [], []
                 for term, qtf, idf in shard_terms[shard]:
-                    blob = blobs.get((pk, term, shard))
+                    blob = _decoded(index, (pk, term, shard))
                     if blob is None:
                         continue
                     ids, tfs, dls = blob

@@ -1,8 +1,8 @@
 """Incremental index ingestion via Structured Streaming.
 
-Lucene-style segment model: each micro-batch builds a self-contained index
-segment (docs/flat tf rows) appended under ``root/segments/``; a compaction
-step merges all segments into a normal BM25Index with GLOBAL df/idf/avgdl
+Lucene-style segment model: each micro-batch lands a raw doc segment with
+stable global doc_ids under ``root/segments/``; a compaction step merges
+all segments into a normal BM25Index with GLOBAL df/idf/avgdl
 (per-segment stats are never mixed — BM25 stats must be corpus-wide, so
 query-serving always happens against a compacted view).
 
@@ -22,7 +22,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bm25_spark.functions.analyzer import make_doc_terms_udf
 from bm25_spark.operators.docids import assign_doc_ids
 
 
@@ -42,10 +41,9 @@ def stream_ingest(
     text_col: str = "text",
 ):
     """Start (and with available_now=True, run to completion) the ingest
-    stream. Each segment holds docs rows (with terms+dl) for later global
-    compaction."""
-    stop = frozenset(stopwords) if stopwords else None
-    doc_terms = make_doc_terms_udf(stop)
+    stream. Each segment holds raw doc rows with stable global doc_ids for
+    later global compaction (``stopwords``/``text_col`` are compaction-time
+    concerns, accepted here for API symmetry)."""
     checkpoint_dir = checkpoint_dir or os.path.join(root, "_checkpoint")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -59,17 +57,7 @@ def stream_ingest(
             existing = spark.read.parquet(os.path.join(seg_root, "segment=*"))
             offset = existing.agg(F.max("doc_id")).collect()[0][0] + 1
         base = assign_doc_ids(batch_df, order_cols=order_cols)
-        seg = (
-            base.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
-            .withColumn("z", doc_terms(F.col(text_col)))
-            .select(
-                "*",
-                F.col("z.dl").alias("dl"),
-                F.col("z.terms").alias("terms"),
-                F.col("z.tfs").alias("tfs"),
-            )
-            .drop("z")
-        )
+        seg = base.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
         # idempotent: re-run of the same batch_id overwrites the same dir
         seg.write.mode("overwrite").parquet(_segment_path(root, batch_id))
 
@@ -95,20 +83,17 @@ def compact_segments(
     partition_col: str | None = None,
 ):
     """Merge all segments into a BM25Index with global statistics.
-    Segments already carry per-doc term counts, so compaction reuses the
-    batch assembly (narrow explode + pack-merge shuffle)."""
-    from bm25_spark.operators.indexer import assemble_index
+    Segments carry stable doc_ids, so compaction is exactly a batch build
+    over their union (fused tokenize+pack, same plan)."""
+    from bm25_spark.operators.indexer import build_index
 
     seg = spark.read.parquet(os.path.join(root, "segments", "segment=*"))
-    pk_expr = (
-        F.col(partition_col).cast("string") if partition_col else F.lit("")
-    )
-    enc = seg.withColumn("pk", pk_expr)
-    return assemble_index(
-        enc,
+    return build_index(
+        seg,
+        id_col="doc_id",
         k1=k1,
         b=b,
         index_fields=tuple(index_fields),
-        partitioned=partition_col is not None,
+        partition_col=partition_col,
         shard_size=shard_size,
     )

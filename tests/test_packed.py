@@ -83,7 +83,9 @@ def test_packed_matches_plain_path(packed_synth):
         "error retry plan", "value key row column",
     ]
     for i, q in enumerate(queries):
-        plain = searcher.search_batch(packed_synth, [(i, q)], limit=20)
+        plain = searcher.search_batch(
+            packed_synth, [(i, q)], limit=20, use_packed=False
+        )
         packd = search_packed(packed_synth, [(i, q)], limit=20)
         a = [(r["doc_id"], round(r["score"], 10)) for r in plain.orderBy("rank").collect()]
         b = [(r["doc_id"], round(r["score"], 10)) for r in packd.orderBy("rank").collect()]
@@ -92,11 +94,57 @@ def test_packed_matches_plain_path(packed_synth):
 
 def test_packed_filtered_matches_plain(packed_synth):
     flt = {"role": ["user", "assistant"]}
-    plain = searcher.search_batch(packed_synth, [(0, "spark data")], limit=15, flt=flt)
+    plain = searcher.search_batch(
+        packed_synth, [(0, "spark data")], limit=15, flt=flt, use_packed=False
+    )
     packd = search_packed(packed_synth, [(0, "spark data")], limit=15, flt=flt)
     a = [(r["doc_id"], round(r["score"], 10)) for r in plain.orderBy("rank").collect()]
     b = [(r["doc_id"], round(r["score"], 10)) for r in packd.orderBy("rank").collect()]
     assert a == b
+
+
+def test_pruning_and_cluster_paths_identical(packed_synth):
+    """Shard-level block-max pruning and the cluster scorer must both
+    return the exact top-k the unpruned driver path returns (safe WAND:
+    upper bounds are true bounds, so pruning never changes results).
+    packed_synth uses shard_size=64, so queries span many shards."""
+    queries = ["spark data query", "cat cat dog", "table scan", "fox"]
+    for i, q in enumerate(queries):
+        variants = [
+            search_packed(packed_synth, [(i, q)], limit=12, prune=True),
+            search_packed(packed_synth, [(i, q)], limit=12, prune=False),
+            search_packed(packed_synth, [(i, q)], limit=12, force_cluster=True),
+        ]
+        outs = [
+            [(r["doc_id"], round(r["score"], 10)) for r in v.orderBy("rank").collect()]
+            for v in variants
+        ]
+        assert outs[0] == outs[1] == outs[2], q
+
+
+def test_filtered_driver_vs_cluster(packed_synth):
+    flt = {"role": ["user"]}
+    drv = search_packed(packed_synth, [(0, "spark data")], limit=10, flt=flt)
+    clu = search_packed(
+        packed_synth, [(0, "spark data")], limit=10, flt=flt, force_cluster=True
+    )
+    a = [(r["doc_id"], round(r["score"], 10)) for r in drv.orderBy("rank").collect()]
+    b = [(r["doc_id"], round(r["score"], 10)) for r in clu.orderBy("rank").collect()]
+    assert a == b
+
+
+def test_warm_caches_identical_results(packed_synth):
+    from bm25_spark.operators.packed import warm_query_caches
+
+    q = "spark data query table"
+    before = [(r["doc_id"], round(r["score"], 10)) for r in
+              search_packed(packed_synth, [(0, q)], limit=10).orderBy("rank").collect()]
+    assert warm_query_caches(packed_synth) is True
+    after = [(r["doc_id"], round(r["score"], 10)) for r in
+             search_packed(packed_synth, [(0, q)], limit=10).orderBy("rank").collect()]
+    assert before == after
+    # unknown terms resolve to empty WITHOUT a dictionary probe
+    assert search_packed(packed_synth, [(0, "zz_unknown_term")], limit=5).count() == 0
 
 
 def test_packed_batch_and_empty(packed_synth):
