@@ -123,6 +123,7 @@ def build_index(
     shard_size: int = DEFAULT_SHARD_SIZE,
     docid_method: str = "range",
     id_col: str | None = None,
+    chunk_postings: int = 1 << 21,
 ) -> BM25Index:
     """Build the inverted index over a transcripts-shaped DataFrame.
 
@@ -148,7 +149,9 @@ def build_index(
     # fused tokenize+count+pack map stage also emits per-task doc-count /
     # Σdl sentinel rows, so corpus statistics (n_docs, avgdl) come from the
     # SAME scan — no separate tokenize pass before packing can start.
-    runs, stats, packed = _pack_pipeline(src, shard_size, k1, b, text_col, stop)
+    runs, stats, packed = _pack_pipeline(
+        src, shard_size, k1, b, text_col, stop, chunk_postings=chunk_postings
+    )
     # the docs table's per-doc dl is a scalar-only UDF pass, off the
     # critical path (query-time metadata filters read this table)
     docs_out = src.withColumn("dl", make_dl_udf(stop)(F.col(text_col)))
@@ -262,6 +265,7 @@ def _pack_pipeline(
     b: float,
     text_col: str = "text",
     stopwords=None,
+    chunk_postings: int = 1 << 21,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Two-stage pack-merge postings build (the index build's only wide
     shuffle, Lucene-segment style):
@@ -289,7 +293,13 @@ def _pack_pipeline(
 
     stop = frozenset(stopwords) if stopwords else None
 
+    # flush partial runs every ~chunk_postings postings: task memory stays
+    # O(chunk) regardless of partition size (a 100 TB build cannot buffer a
+    # whole input split in Python) — the merge happily unions multiple runs
+    # per (pk, term, shard) from the same task
+
     def partial_pack(batches):
+        from array import array
         from collections import Counter
 
         term_code: dict[str, int] = {}
@@ -300,7 +310,45 @@ def _pack_pipeline(
         # so n_docs/avgdl derive from this same pass (empty docs count too)
         pk_ndocs: dict[str, int] = {}
         pk_sumdl: dict[str, int] = {}
-        codes_l, docs_l, tfs_l, dls_l, pks_l = [], [], [], [], []
+
+        def fresh():
+            return array("q"), array("q"), [], [], []
+
+        codes_a, tfs_a, docs_l, dls_l, pks_l = fresh()
+
+        def flush():
+            codes = np.frombuffer(codes_a, dtype=np.int64)
+            tf_flat = np.frombuffer(tfs_a, dtype=np.int64)
+            doc_flat = np.concatenate(docs_l)
+            dl_flat = np.concatenate(dls_l)
+            pk_codes = np.concatenate(pks_l)
+            shard = (doc_flat // shard_size).astype(np.int64)
+            order = np.lexsort((doc_flat, shard, codes, pk_codes))
+            doc_s, tf_s, dl_s = doc_flat[order], tf_flat[order], dl_flat[order]
+            code_s, pk_s, shard_s = codes[order], pk_codes[order], shard[order]
+            bmask = np.empty(len(order), dtype=bool)
+            bmask[0] = True
+            bmask[1:] = (
+                (pk_s[1:] != pk_s[:-1])
+                | (code_s[1:] != code_s[:-1])
+                | (shard_s[1:] != shard_s[:-1])
+            )
+            starts = np.flatnonzero(bmask)
+            ends = np.append(starts[1:], len(order))
+            bases = shard_s[starts] * shard_size
+            blobs = codec.pack_runs_bulk(doc_s, tf_s, dl_s, starts, ends, bases)
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array([pk_vals[c] for c in pk_s[starts]], pa.string()),
+                    pa.array([vocab[c] for c in code_s[starts]], pa.string()),
+                    pa.array(shard_s[starts].astype(np.int32), pa.int32()),
+                    pa.array((ends - starts).astype(np.int32), pa.int32()),
+                    pa.array(blobs, pa.binary()),
+                    pa.array([0] * len(starts), pa.int64()),
+                ],
+                names=["pk", "term", "shard", "n", "data", "sum_dl"],
+            )
+
         for rb in batches:
             cols = dict(zip(rb.schema.names, rb.columns))
             texts = cols[text_col].to_pylist()
@@ -322,11 +370,14 @@ def _pack_pipeline(
                     if tc is None:
                         tc = term_code[term] = len(vocab)
                         vocab.append(term)
-                    codes_l.append(tc)
-                    tfs_l.append(tf)
+                    codes_a.append(tc)
+                    tfs_a.append(tf)
                 docs_l.append(np.full(len(c), doc_id, dtype=np.int64))
                 dls_l.append(np.full(len(c), dl, dtype=np.int64))
                 pks_l.append(np.full(len(c), pc_, dtype=np.int64))
+            if len(codes_a) >= chunk_postings:
+                yield flush()
+                codes_a, tfs_a, docs_l, dls_l, pks_l = fresh()
         if pk_ndocs:
             sent_pks = sorted(pk_ndocs)
             yield pa.RecordBatch.from_arrays(
@@ -340,39 +391,8 @@ def _pack_pipeline(
                 ],
                 names=["pk", "term", "shard", "n", "data", "sum_dl"],
             )
-        if not codes_l:
-            return
-        codes = np.asarray(codes_l, dtype=np.int64)
-        tf_flat = np.asarray(tfs_l, dtype=np.int64)
-        doc_flat = np.concatenate(docs_l)
-        dl_flat = np.concatenate(dls_l)
-        pk_codes = np.concatenate(pks_l)
-        shard = (doc_flat // shard_size).astype(np.int64)
-        order = np.lexsort((doc_flat, shard, codes, pk_codes))
-        doc_s, tf_s, dl_s = doc_flat[order], tf_flat[order], dl_flat[order]
-        code_s, pk_s, shard_s = codes[order], pk_codes[order], shard[order]
-        bmask = np.empty(len(order), dtype=bool)
-        bmask[0] = True
-        bmask[1:] = (
-            (pk_s[1:] != pk_s[:-1])
-            | (code_s[1:] != code_s[:-1])
-            | (shard_s[1:] != shard_s[:-1])
-        )
-        starts = np.flatnonzero(bmask)
-        ends = np.append(starts[1:], len(order))
-        bases = shard_s[starts] * shard_size
-        blobs = codec.pack_runs_bulk(doc_s, tf_s, dl_s, starts, ends, bases)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array([pk_vals[c] for c in pk_s[starts]], pa.string()),
-                pa.array([vocab[c] for c in code_s[starts]], pa.string()),
-                pa.array(shard_s[starts].astype(np.int32), pa.int32()),
-                pa.array((ends - starts).astype(np.int32), pa.int32()),
-                pa.array(blobs, pa.binary()),
-                pa.array([0] * len(starts), pa.int64()),
-            ],
-            names=["pk", "term", "shard", "n", "data", "sum_dl"],
-        )
+        if len(codes_a):
+            yield flush()
 
     runs = src.select("pk", "doc_id", F.col(text_col)).mapInArrow(
         partial_pack, schema=_RUN_SCHEMA

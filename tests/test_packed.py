@@ -147,6 +147,20 @@ def test_warm_caches_identical_results(packed_synth):
     assert search_packed(packed_synth, [(0, "zz_unknown_term")], limit=5).count() == 0
 
 
+def test_chunked_partial_pack_identical(spark, packed_synth):
+    """Forcing the map-side chunk flush (tiny chunk_postings) must produce
+    an index with identical search results — multiple partial runs per
+    (pk, term, shard) from one task merge to the same postings."""
+    df = synthetic_transcripts(spark, n_convs=30, seed=11)
+    idx_chunked = build_index(df, shard_size=64, chunk_postings=50)
+    for q in ("spark query data", "cat cat cat", "fox dog"):
+        a = [(r["doc_id"], round(r["score"], 10)) for r in
+             search_packed(packed_synth, [(0, q)], limit=15).orderBy("rank").collect()]
+        b = [(r["doc_id"], round(r["score"], 10)) for r in
+             search_packed(idx_chunked, [(0, q)], limit=15).orderBy("rank").collect()]
+        assert a == b, q
+
+
 def test_packed_batch_and_empty(packed_synth):
     res = search_packed(packed_synth, [(0, "spark"), (1, ""), (2, "zzqq")], limit=5)
     rows = res.collect()
