@@ -40,8 +40,10 @@ _TOK = """
   ) WHERE length(term) >= 2
 """
 
-_BASE = f"""
-WITH tok AS ({_TOK}),
+def _base_from(tok_sql: str) -> str:
+    """The shared index-stats CTE chain over a given tokenizer CTE."""
+    return f"""
+WITH tok AS ({tok_sql}),
 dl AS (
   SELECT d.doc_id, CAST(count(t.term) AS BIGINT) AS dl
   FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY d.doc_id
@@ -62,16 +64,19 @@ idf AS (
 """
 
 
-def _q_values(query: str) -> str:
-    counts = query_term_counts(query)
+_BASE = _base_from(_TOK)
+
+
+def _q_values(query: str, stopwords=None) -> str:
+    counts = query_term_counts(query, stopwords)
     rows = ", ".join(f"('{t}', {c})" for t, c in sorted(counts.items()))
     return f"(SELECT * FROM (VALUES {rows}) AS q(term, qtf))"
 
 
-def _scored_sql(query: str, where_docs: str = "TRUE") -> str:
+def _scored_sql(query: str, where_docs: str = "TRUE", stopwords=None) -> str:
     """CTE tail producing scored(doc_id, score) for ``query``."""
     return f"""
-, q AS {_q_values(query)}
+, q AS {_q_values(query, stopwords)}
 , allowed AS (SELECT doc_id FROM documents WHERE {where_docs})
 , scored AS (
   SELECT tf.doc_id,
@@ -274,16 +279,145 @@ def q_search_many(spark, sf_dir):
     )
 
 
+ROCCHIO_REL_IDS = [0, 1, 2]
+ROCCHIO_ALPHA, ROCCHIO_BETA = 1.0, 0.75
+
+
 def q_feedback(spark, sf_dir):
-    """O19 Rocchio feedback (rows-only: the expanded query depends on doc
-    texts at runtime, so no static SQL oracle — extensions.dart:22-139)."""
+    """O19 Rocchio feedback (extensions.dart:22-139): the expansion is a
+    pure function of the corpus once the relevant ids are pinned, so it has
+    a full DuckDB oracle (see _rocchio_sql). Scores all docs and takes the
+    rounded top-k so float last-bits cannot flip ranks between systems."""
     from bm25_spark.operators.feedback import search_with_feedback
 
     idx = _index(spark, sf_dir)
+    n = _read_docs(spark, sf_dir).count()
     res = search_with_feedback(
-        idx, FLAGSHIP_QUERY, relevant_doc_ids=[0, 1, 2], limit=TOPK
+        idx,
+        FLAGSHIP_QUERY,
+        relevant_doc_ids=ROCCHIO_REL_IDS,
+        alpha=ROCCHIO_ALPHA,
+        beta=ROCCHIO_BETA,
+        limit=n,
     )
-    return res.select("doc_id", F.round("score", 4).alias("score"), "rank")
+    return _rounded_topk(res, TOPK)
+
+
+def _rocchio_sql() -> str:
+    """DuckDB transcription of feedback.rocchio_expand + rescore
+    (mirrors extensions.dart:42-124): per-occurrence 1/doc_len weights from
+    the relevant docs, alpha on query terms, beta*tf_norm/found on doc
+    terms, top-30 by (weight DESC, term ASC), reps =
+    clamp(floor(1+ln(w)+0.5), 1, 8) when w>1, leftover original query
+    terms appended once; the expanded multiset then scores through the
+    normal BM25 pipeline as per-term qtf multipliers."""
+    import re as _re
+
+    rel = ", ".join(str(i) for i in ROCCHIO_REL_IDS)
+    # the reference tokenizes the QUERY with a different splitter (\W+,
+    # len>=2, no stopwords — extensions.dart:67-71); static query => the
+    # unique token set is computable here at SQL-build time
+    qtoks = sorted(
+        {
+            w
+            for w in _re.split(r"\W+", FLAGSHIP_QUERY.lower())
+            if len(w) >= 2
+        }
+    )
+    qt_values = ", ".join(f"('{t}')" for t in qtoks)
+    return f"""
+, rel_len AS (
+  SELECT d.doc_id, CAST(count(t.term) AS BIGINT) AS rl
+  FROM documents d LEFT JOIN tok t USING (doc_id)
+  WHERE d.doc_id IN ({rel})
+  GROUP BY d.doc_id
+)
+, tfreq AS (
+  SELECT t.term, sum(1.0 / l.rl) AS v
+  FROM tok t JOIN rel_len l USING (doc_id)
+  WHERE l.rl > 0
+  GROUP BY t.term
+)
+, qt AS (SELECT * FROM (VALUES {qt_values}) AS q(term))
+, weighted AS (
+  SELECT term, sum(w) AS w FROM (
+    SELECT term, {ROCCHIO_ALPHA} AS w FROM qt
+    UNION ALL
+    SELECT term, {ROCCHIO_BETA} * v / (SELECT count(*) FROM rel_len)
+    FROM tfreq
+  ) GROUP BY term
+)
+, sel AS (SELECT term, w FROM weighted ORDER BY w DESC, term ASC LIMIT 30)
+, qexp AS (
+  SELECT term,
+         CAST(CASE WHEN w > 1
+              THEN least(8, greatest(1,
+                   CAST(floor(1.0 + ln(w) + 0.5) AS BIGINT)))
+              ELSE 1 END AS BIGINT) AS qtf
+  FROM sel
+  UNION ALL
+  SELECT term, CAST(1 AS BIGINT) AS qtf FROM qt
+  WHERE term NOT IN (SELECT term FROM sel)
+)
+, scored AS (
+  SELECT tf.doc_id,
+         sum(q.qtf * idf.idf * tf.tf * ({K1} + 1.0)
+             / (tf.tf + {K1} * ((1.0 - {B}) + {B} * dl.dl
+                / (SELECT avgdl FROM stats)))) AS score
+  FROM tf
+  JOIN qexp q USING (term)
+  JOIN idf USING (term)
+  JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id
+)
+"""
+
+
+def q_docids(spark, sf_dir):
+    """O1: deterministic dense doc_id assignment (docids.assign_doc_ids,
+    the scalable range-partitioned two-pass path) vs a plain row_number
+    oracle. Reorders by (source, orig_id) so the assignment is exercised on
+    a non-trivial ordering, not the identity."""
+    from bm25_spark.operators.docids import assign_doc_ids
+
+    d = _read_docs(spark, sf_dir).select(
+        F.col("doc_id").alias("orig_id"), "source"
+    )
+    out = assign_doc_ids(d, order_cols=("source", "orig_id"), method="range")
+    return out.select("orig_id", F.col("doc_id").cast("long").alias("new_id"))
+
+
+# O3: stopword builds change dl (dl = POST-stopword token count,
+# bm25.dart:427) and therefore norms and scores; 'data' is also a query
+# term of the flagship query, so the query-side stopword drop is covered.
+CONTRACT_STOPWORDS = ("data", "the", "and", "for")
+
+
+def _stop_tok_sql() -> str:
+    stoplist = ", ".join(f"'{w}'" for w in CONTRACT_STOPWORDS)
+    return f"""
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+    FROM documents
+  ) WHERE length(term) >= 2 AND term NOT IN ({stoplist})
+"""
+
+
+def q_topk_stopwords(spark, sf_dir):
+    from bm25_spark.operators.indexer import build_index
+    from bm25_spark.operators.searcher import search_batch
+
+    idx = build_index(
+        _read_docs(spark, sf_dir),
+        text_col="text",
+        id_col="doc_id",
+        index_fields=("lang", "source"),
+        stopwords=CONTRACT_STOPWORDS,
+    )
+    n = _read_docs(spark, sf_dir).count()
+    res = search_batch(idx, [(0, FLAGSHIP_QUERY)], limit=n)
+    return _rounded_topk(res, TOPK)
 
 
 # ----------------------------------------------------- training-data ops
@@ -365,14 +499,72 @@ def q_ann_topk(spark, sf_dir):
     return brute_topk(emb, [(0, [float(x) for x in qvec])], k=TOPK)
 
 
+ANN_LSH_PLANES = 6
+ANN_LSH_DIM = 64
+
+
 def q_ann_lsh_topk(spark, sf_dir):
-    """Approximate ANN (LSH multiprobe) — rows-only check (no SQL oracle);
-    recall vs brute force is asserted in tests."""
+    """Approximate ANN (LSH multiprobe, hamming-1 probes). Hyperplanes are
+    md5-derived integers (similarity.hyperplanes), so the DuckDB oracle
+    reproduces signature + probe-set + candidate cosine exactly
+    (_lsh_ann_sql); recall vs brute force is additionally asserted in
+    tests."""
     from bm25_spark.operators.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return lsh_topk(emb, [(0, [float(x) for x in qvec])], k=TOPK, n_planes=6)
+    return lsh_topk(
+        emb, [(0, [float(x) for x in qvec])], k=TOPK, n_planes=ANN_LSH_PLANES
+    )
+
+
+def _lsh_ann_sql() -> str:
+    """DuckDB transcription of similarity.lsh_topk for query vec_id=0:
+    the same md5-derived hyperplanes are inlined as literals, signatures are
+    sign-of-projection bitmaps, and the probe set is the query's bucket
+    plus all hamming-1 neighbours (multiprobe_hamming=1 default)."""
+    from bm25_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(ANN_LSH_PLANES, ANN_LSH_DIM)
+    pl_values = ", ".join(
+        f"({p}, {list(plane)!r}::DOUBLE[])" for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+           FROM embeddings),
+pl AS (SELECT * FROM (VALUES {pl_values}) AS p(pid, pv)),
+proj AS (SELECT v.vec_id, pl.pid, list_dot_product(v.e, pl.pv) AS d
+         FROM v, pl),
+sig AS (
+  SELECT vec_id,
+         CAST(coalesce(sum(CASE WHEN d > 0
+                           THEN CAST(1 AS BIGINT) << pid ELSE 0 END), 0)
+              AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+qs AS (SELECT bucket AS s FROM sig WHERE vec_id = 0),
+probes AS (
+  SELECT DISTINCT bucket FROM (
+    SELECT s AS bucket FROM qs
+    UNION ALL
+    SELECT xor(s, CAST(1 AS BIGINT) << p) AS bucket
+    FROM qs, unnest(generate_series(0, {ANN_LSH_PLANES - 1})) AS g(p)
+  )
+),
+cand AS (SELECT sig.vec_id FROM sig JOIN probes USING (bucket)),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+scored AS (
+  SELECT v.vec_id AS id,
+         round(list_dot_product(v.e, q.qe)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cosine
+  FROM v JOIN cand USING (vec_id), q
+)
+SELECT CAST(0 AS BIGINT) AS query_id, id, cosine,
+       CAST(row_number() OVER (ORDER BY cosine DESC, id ASC) AS BIGINT)
+         AS rank
+FROM scored QUALIFY rank <= {TOPK}
+"""
 
 
 def q_mm_decode_meta(spark, sf_dir):
@@ -405,6 +597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_many": q_search_many,
         "bm25_feedback": q_feedback,
         "bm25_empty_query": q_empty_query,
+        "bm25_docids": q_docids,
+        "bm25_topk_stopwords": q_topk_stopwords,
         "ts_token_stats": q_token_stats,
         "ts_quality": q_quality,
         "ts_lang_id": q_lang_id,
@@ -525,7 +719,16 @@ SELECT lang, doc_id, score,
          AS rank
 FROM pp QUALIFY rank <= {TOPK}
 """,
+        "bm25_feedback": _BASE + _rocchio_sql() + topk_tail,
         "bm25_empty_query": "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE FALSE",
+        "bm25_docids": (
+            "SELECT doc_id AS orig_id, "
+            "CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT) "
+            "AS new_id FROM documents"
+        ),
+        "bm25_topk_stopwords": _base_from(_stop_tok_sql())
+        + _scored_sql(FLAGSHIP_QUERY, stopwords=CONTRACT_STOPWORDS)
+        + topk_tail,
         **_training_ops_oracles(),
     }
 
@@ -681,6 +884,7 @@ SELECT CAST(0 AS BIGINT) AS query_id, id, cosine,
        CAST(row_number() OVER (ORDER BY cosine DESC, id ASC) AS BIGINT) AS rank
 FROM scored
 QUALIFY rank <= {TOPK}""",
+        "ann_lsh_topk": _lsh_ann_sql(),
         "mm_decode_meta": """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
