@@ -265,33 +265,158 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "block",
+    n_blocks: int = 8,
+    n_planes: int = 16,
+    bands: int = 4,
 ) -> DataFrame:
-    """(a, b, cosine): embedding near-dup pairs with cosine >= threshold.
+    """(a, b, cosine): embedding near-dup pairs with round(cosine,4) >=
+    threshold, a < b.
 
-    Test-scale path: full self-join (O(N^2) on the small side). At scale the
-    candidate stage is replaced by LSH bucketing (similarity.lsh_buckets) —
-    same verify expression."""
-    v = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn(
-        "nrm",
-        F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)),
+    Two scale paths (neither is a row-level crossJoin):
+
+    - ``block`` (default, EXACT): block-pair matrix multiply. Vectors are
+      hashed into ``n_blocks`` blocks; each of the B(B+1)/2 unordered block
+      pairs is one applyInPandas task doing a normalized numpy GEMM
+      (A_hat @ B_hat.T), so the O(N^2) dot products run at BLAS speed
+      across the cluster instead of as exploded join rows. Data moved is
+      O(N * B) (each vector joins B tasks); per-task memory is
+      O((N/B)^2) doubles — pick n_blocks ~= N / 10k so score tiles stay
+      ~100 MB at any corpus size. Exhaustive comparison is unavoidable for
+      LOW thresholds (no metric pruning exists at cosine ~0.3); this makes
+      it vectorized and distributed rather than impossible.
+    - ``lsh`` (approximate, for true near-dup thresholds >= ~0.8): sign
+      signatures from similarity.lsh_buckets, banded into
+      ``bands`` blocks of n_planes/bands bits; pairs sharing >= 1 exact
+      band are candidates (pigeonhole: any pair with signature hamming
+      distance < bands is ALWAYS a candidate), verified with exact cosine.
+      Misses only pairs whose signatures differ in >= bands of the
+      ``n_planes`` bits — vanishingly rare for high-cosine pairs
+      (P(bit differs) = acos(cos)/pi ~ 0.1 at cosine 0.95).
+    """
+    if method == "lsh":
+        return _embedding_neardup_lsh(
+            embeddings, threshold, id_col, vec_col, n_planes, bands
+        )
+    if method != "block":
+        raise ValueError(f"unknown method {method!r}")
+    return _embedding_neardup_block(
+        embeddings, threshold, id_col, vec_col, n_blocks
     )
-    a, b = v.alias("a"), v.alias("b")
+
+
+def _embedding_neardup_block(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    n_blocks: int,
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    v = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("blk", F.pmod(F.hash(F.col("id")), F.lit(n_blocks)))
+    tasks = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    # each vector is shipped to every task touching its block; an unordered
+    # pair (x, y) lands in exactly one task: (min(blk), max(blk))
+    side_a = v.join(F.broadcast(tasks), F.col("blk") == F.col("bi")).select(
+        "bi", "bj", "id", "v", F.lit(0).alias("side")
+    )
+    side_b = v.join(F.broadcast(tasks), F.col("blk") == F.col("bj")).select(
+        "bi", "bj", "id", "v", F.lit(1).alias("side")
+    )
+    both = side_a.unionByName(side_b)
+
+    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(key[0]), int(key[1])
+        a = pdf[pdf["side"] == 0]
+        if a.empty:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
+                {"a": np.int64, "b": np.int64, "cosine": np.float64}
+            )
+        ids_a = a["id"].to_numpy(np.int64)
+        A = np.stack(a["v"].to_numpy())
+        na = np.sqrt((A * A).sum(axis=1))
+        # dot / (|a| * |b|) — same float structure as the SQL/driver-side
+        # cosine expression (divide AFTER the dot, not pre-normalized rows)
+        if bi == bj:
+            S = (A @ A.T) / np.outer(na, na)
+            iu, ju = np.triu_indices(len(A), k=1)
+            cos = np.round(S[iu, ju], 4)
+            lo = np.minimum(ids_a[iu], ids_a[ju])
+            hi = np.maximum(ids_a[iu], ids_a[ju])
+        else:
+            b_ = pdf[pdf["side"] == 1]
+            if b_.empty:
+                return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
+                    {"a": np.int64, "b": np.int64, "cosine": np.float64}
+                )
+            ids_b = b_["id"].to_numpy(np.int64)
+            B = np.stack(b_["v"].to_numpy())
+            nb = np.sqrt((B * B).sum(axis=1))
+            S = (A @ B.T) / np.outer(na, nb)
+            cos_all = np.round(S, 4)
+            ii, jj = np.nonzero(cos_all >= threshold)
+            cos = cos_all[ii, jj]
+            lo = np.minimum(ids_a[ii], ids_b[jj])
+            hi = np.maximum(ids_a[ii], ids_b[jj])
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {"a": lo[keep], "b": hi[keep], "cosine": cos[keep]}
+        )
+
+    return both.groupBy("bi", "bj").applyInPandas(
+        gemm, schema="a long, b long, cosine double"
+    )
+
+
+def _embedding_neardup_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    bands: int,
+) -> DataFrame:
+    from bm25_spark.operators.similarity import lsh_buckets
+
+    assert n_planes % bands == 0
+    width = n_planes // bands
+    dim = len(embeddings.select(vec_col).first()[0])
+    sig = lsh_buckets(embeddings, n_planes, dim, id_col, vec_col)
+    band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    keyed = sig.select("id", "v", "nrm", "bucket", band).withColumn(
+        "key",
+        F.expr(f"(bucket >> (band * {width})) & {(1 << width) - 1}"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
     dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.zip_with("va", "vb", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .withColumn(
-            "cosine",
-            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4),
-        )
+        cand.withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 4))
         .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col("a.id").alias("a"), F.col("b.id").alias("b"), "cosine"
-        )
+        .select("a", "b", "cosine")
     )

@@ -115,10 +115,57 @@ def emb(spark):
     )
 
 
+def _naive_pairs(threshold):
+    vecs = dict(_vecs())
+    out = {}
+    for i in vecs:
+        for j in vecs:
+            if i < j:
+                a, b = np.array(vecs[i]), np.array(vecs[j])
+                c = round(
+                    float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))),
+                    4,
+                )
+                if c >= threshold:
+                    out[(i, j)] = c
+    return out
+
+
 def test_embedding_neardup(emb):
     pairs = {(r["a"], r["b"]) for r in
              dedup.embedding_neardup_pairs(emb, threshold=0.99).collect()}
     assert (0, 1) in pairs
+
+
+def test_embedding_neardup_block_equals_all_pairs(emb):
+    """The block-GEMM plan is exact: same pair set + cosines as the naive
+    all-pairs computation, at both a loose and a tight threshold, and for
+    block counts that do / don't divide the corpus evenly."""
+    for threshold in (0.2, 0.9):
+        want = _naive_pairs(threshold)
+        for n_blocks in (1, 3, 7):
+            got = {
+                (r["a"], r["b"]): r["cosine"]
+                for r in dedup.embedding_neardup_pairs(
+                    emb, threshold=threshold, n_blocks=n_blocks
+                ).collect()
+            }
+            assert got == want, (threshold, n_blocks)
+
+
+def test_embedding_neardup_lsh_high_threshold(emb):
+    """The banded-LSH path finds the planted near-dup pair (cosine ~0.9999)
+    and returns a subset of the exact pairs with identical cosines."""
+    want = _naive_pairs(0.99)
+    got = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in dedup.embedding_neardup_pairs(
+            emb, threshold=0.99, method="lsh", n_planes=16, bands=4
+        ).collect()
+    }
+    assert (0, 1) in got
+    assert set(got) <= set(want)
+    assert all(want[k] == v for k, v in got.items())
 
 
 def test_brute_topk_matches_numpy(emb):
