@@ -26,7 +26,12 @@ from bm25_spark.session import get_spark  # noqa: E402
 
 BENCH_QUERIES = [
     ("q_top10", "data table scan filter join", 10, None),
-    ("q_top10_rare", "checkpoint lineage watermark", 10, None),
+    # 'dup' is the corpus's rarest term (df ~5% of docs vs ~77% for the
+    # rest of the 30-term synthetic vocabulary) — exercises the small-
+    # postings fast case a rare term should be
+    ("q_top10_rare", "dup merge", 10, None),
+    # terms absent from the corpus entirely -> empty-result fast path
+    ("q_unknown", "checkpoint lineage watermark", 10, None),
     ("q_top100", "spark data window agg", 100, None),
     ("q_filtered", "data table scan", 10, {"lang": ["en", "fr"]}),
     ("q_repeat", "data data data table", 10, None),
@@ -90,6 +95,8 @@ def main() -> None:
 
     warm_query_caches(index)
     search(index, "data", limit=5).collect()
+    # pay the one-time codegen for the empty-result LocalRelation too
+    search(index, "zz_absent_term_zz", limit=5).collect()
 
     for name, q, k, flt in BENCH_QUERIES:
         t0 = time.perf_counter()

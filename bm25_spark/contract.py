@@ -136,7 +136,7 @@ def q_tf(spark, sf_dir):
 
 def q_doclen(spark, sf_dir):
     idx = _index(spark, sf_dir)
-    return idx.docs.select("doc_id", F.col("dl").cast("long").alias("dl"))
+    return idx.doclens.select("doc_id", F.col("dl").cast("long").alias("dl"))
 
 
 def q_stats(spark, sf_dir):
@@ -150,7 +150,7 @@ def q_stats(spark, sf_dir):
 def q_norm(spark, sf_dir):
     idx = _index(spark, sf_dir)
     return (
-        idx.docs.join(F.broadcast(idx.stats.select("pk", "avgdl")), "pk")
+        idx.doclens.join(F.broadcast(idx.stats.select("pk", "avgdl")), "pk")
         .select(
             "doc_id",
             F.round(

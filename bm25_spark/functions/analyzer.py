@@ -20,17 +20,10 @@ of tokenization stays in JVM expressions.
 from __future__ import annotations
 
 import re
-from collections import Counter
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    ArrayType,
-    IntegerType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import ArrayType, StringType
 
 _ASCII_WORD = re.compile(r"[a-z0-9_]+")
 # Python stdlib equivalent of \p{L}[\p{L}\p{N}_]* : [^\W\d_] is a letter.
@@ -63,58 +56,6 @@ def make_tokenize_udf(stopwords=None):
         return tokenize_batch(texts, stop)
 
     return tokenize
-
-
-DOC_TERMS_SCHEMA = StructType(
-    [
-        StructField("dl", IntegerType(), False),
-        StructField("terms", ArrayType(StringType()), False),
-        StructField("tfs", ArrayType(IntegerType()), False),
-    ]
-)
-
-
-def make_dl_udf(stopwords=None):
-    """text -> dl (post-filter token count, the reference's doc length —
-    bm25.dart:427). Scalar-only return: the docs/stats pipeline never ships
-    token arrays back across the Arrow boundary."""
-    stop = frozenset(stopwords) if stopwords else None
-
-    @F.pandas_udf(IntegerType())
-    def dl_of(texts: pd.Series) -> pd.Series:
-        return pd.Series(
-            [len(tokenize_text(t, stop)) for t in texts], index=texts.index
-        )
-
-    return dl_of
-
-
-def make_doc_terms_udf(stopwords=None):
-    """text -> struct(dl, terms: array<string>, tfs: array<int>) — the
-    distinct terms of the doc with their in-doc frequencies, parallel-array
-    encoded (Arrow list columns serialize far faster than struct arrays).
-
-    Folding the per-document TF count into the tokenizer UDF (the reference
-    builds exactly this per-doc map, lib/src/bm25.dart:426-433) makes the
-    downstream (doc, term, tf) relation a NARROW explode — the index build's
-    only wide shuffle is then the per-term postings merge, instead of an
-    extra full shuffle of every exploded token occurrence."""
-    stop = frozenset(stopwords) if stopwords else None
-
-    @F.pandas_udf(DOC_TERMS_SCHEMA)
-    def doc_terms(texts: pd.Series) -> pd.DataFrame:
-        dls: list[int] = []
-        terms_l: list[list[str]] = []
-        tfs_l: list[list[int]] = []
-        for t in texts:
-            toks = tokenize_text(t, stop)
-            dls.append(len(toks))
-            c = Counter(toks)
-            terms_l.append(list(c.keys()))
-            tfs_l.append(list(c.values()))
-        return pd.DataFrame({"dl": dls, "terms": terms_l, "tfs": tfs_l})
-
-    return doc_terms
 
 
 def query_term_counts(query: str, stopwords=None) -> dict[str, int]:

@@ -5,10 +5,13 @@ dataflow so Catalyst handles pushdown/pruning/partial-agg.
 Index data model (a small star of tables, all carrying ``pk`` — the
 partition key; a non-partitioned index uses pk = ''):
 
-- docs     (pk, doc_id, <original cols>, dl)          one row per document
+- docs     (pk, doc_id, <original cols>)              one row per document
 - terms    (pk, term, df, idf)                        dictionary
 - postings (pk, term, shard, postings:array<struct<doc_id,tf,dl>>)
 - stats    (pk, n_docs, avgdl)                        per-partition scalars
+- doclens  (pk, doc_id, dl)                           derived view (see
+  doclens_view) — decoded from the build's sentinel rows, never a second
+  tokenize pass
 
 Design notes vs the reference (lib/src/bm25.dart:423-501):
 
@@ -28,6 +31,7 @@ Design notes vs the reference (lib/src/bm25.dart:423-501):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -47,7 +51,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from bm25_spark.functions.analyzer import make_dl_udf
 from bm25_spark.operators.docids import assign_doc_ids
 
 DEFAULT_K1 = 1.2
@@ -72,6 +75,7 @@ class BM25Index:
     shard_size: int = DEFAULT_SHARD_SIZE
     flat: DataFrame | None = None  # (pk, term, doc_id, dl, tf) pre-postings
     enc: DataFrame | None = None  # tokenized docs (with per-doc term counts)
+    doclens: DataFrame | None = None  # (pk, doc_id, dl) — derived view
 
     def _physical(self) -> tuple[DataFrame, ...]:
         """Index tables in DEPENDENCY order (stats -> postings -> terms ->
@@ -152,11 +156,11 @@ def build_index(
     runs, stats, packed = _pack_pipeline(
         src, shard_size, k1, b, text_col, stop, chunk_postings=chunk_postings
     )
-    # the docs table's per-doc dl is a scalar-only UDF pass, off the
-    # critical path (query-time metadata filters read this table)
-    docs_out = src.withColumn("dl", make_dl_udf(stop)(F.col(text_col)))
+    # the docs table is the source rows as-is; per-doc lengths live in the
+    # doclens view (decoded from the pack pass's sentinel rows), so the
+    # corpus is tokenized exactly ONCE per build
     return _finish_index(
-        docs_out,
+        src,
         stats,
         packed,
         k1=k1,
@@ -200,6 +204,7 @@ def _finish_index(
         )
         .drop("n_docs")
     )
+    doclens = doclens_view(pin) if pin is not None else None
     postings = decoded_postings_view(packed, shard_size)
     # (pk, term, doc_id, dl, tf) debug/contract view, decoded on demand
     flat = postings.select(
@@ -227,6 +232,7 @@ def _finish_index(
         flat=flat,
         enc=pin,
         packed=packed,
+        doclens=doclens,
     )
 
 
@@ -253,9 +259,10 @@ _RUN_SCHEMA = StructType(
     ]
 )
 
-# sentinel term for per-task doc-stats rows in the runs table; real tokens
-# are always >= 2 chars (bm25.dart:712), so "" cannot collide
-_STATS_TERM = ""
+# sentinel terms for non-posting rows in the runs table; real tokens are
+# always >= 2 chars (bm25.dart:712), so 0/1-char strings cannot collide
+_STATS_TERM = ""  # per-task (n_docs, sum_dl) aggregates per pk
+_DL_TERM = "\x01"  # per-task packed (doc_id, dl) pairs per pk
 
 
 def _pack_pipeline(
@@ -315,6 +322,44 @@ def _pack_pipeline(
             return array("q"), array("q"), [], [], []
 
         codes_a, tfs_a, docs_l, dls_l, pks_l = fresh()
+        # per-pk (doc_id, dl) pairs for EVERY doc seen (incl. dl=0), packed
+        # into varint sentinel rows — the docs table's dl and the doclens
+        # view derive from this same single tokenize pass (the reference
+        # tokenizes once too, bm25.dart:148-156)
+        dl_ids: dict[str, array] = {}
+        dl_vals: dict[str, array] = {}
+
+        def flush_dl():
+            if not dl_ids:
+                return None
+            pks_o, ns_o, datas_o = [], [], []
+            for pk in sorted(dl_ids):
+                ids = np.frombuffer(dl_ids[pk], dtype=np.int64)
+                vals = np.frombuffer(dl_vals[pk], dtype=np.int64)
+                order = np.argsort(ids, kind="stable")
+                ids_s, vals_s = ids[order], vals[order]
+                inter = np.empty(2 * len(ids_s), dtype=np.uint64)
+                deltas = np.empty(len(ids_s), dtype=np.int64)
+                deltas[0] = ids_s[0]
+                deltas[1:] = np.diff(ids_s)
+                inter[0::2] = deltas.astype(np.uint64)
+                inter[1::2] = vals_s.astype(np.uint64)
+                pks_o.append(pk)
+                ns_o.append(len(ids_s))
+                datas_o.append(codec.encode_varints(inter))
+            dl_ids.clear()
+            dl_vals.clear()
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(pks_o, pa.string()),
+                    pa.array([_DL_TERM] * len(pks_o), pa.string()),
+                    pa.array([0] * len(pks_o), pa.int32()),
+                    pa.array(np.asarray(ns_o, np.int32), pa.int32()),
+                    pa.array(datas_o, pa.binary()),
+                    pa.array([0] * len(pks_o), pa.int64()),
+                ],
+                names=["pk", "term", "shard", "n", "data", "sum_dl"],
+            )
 
         def flush():
             codes = np.frombuffer(codes_a, dtype=np.int64)
@@ -359,6 +404,11 @@ def _pack_pipeline(
                 dl = sum(c.values())
                 pk_ndocs[pk] = pk_ndocs.get(pk, 0) + 1
                 pk_sumdl[pk] = pk_sumdl.get(pk, 0) + dl
+                if pk not in dl_ids:
+                    dl_ids[pk] = array("q")
+                    dl_vals[pk] = array("q")
+                dl_ids[pk].append(doc_id)
+                dl_vals[pk].append(dl)
                 if not c:
                     continue
                 pc_ = pk_code.get(pk)
@@ -378,6 +428,12 @@ def _pack_pipeline(
             if len(codes_a) >= chunk_postings:
                 yield flush()
                 codes_a, tfs_a, docs_l, dls_l, pks_l = fresh()
+                dlb = flush_dl()
+                if dlb is not None:
+                    yield dlb
+        dlb = flush_dl()
+        if dlb is not None:
+            yield dlb
         if pk_ndocs:
             sent_pks = sorted(pk_ndocs)
             yield pa.RecordBatch.from_arrays(
@@ -407,72 +463,149 @@ def _pack_pipeline(
         )
     )
 
+    # reduce side streams GROUP BY GROUP over rows pre-sorted by the group
+    # key, so task memory is O(one term-shard group + output buffer) — never
+    # the whole shuffle partition (a skewed merge partition at 100x scale
+    # must not OOM the task). Output batches flush at a byte budget.
+    _FLUSH_BYTES = 64 << 20
+
     def merge_runs(batches):
-        groups: dict[tuple, list] = {}
-        avgdls: dict[str, float] = {}
+        out = {k: [] for k in ("pk", "term", "shard", "n", "data", "bl", "bm")}
+        out_bytes = 0
+
+        def out_batch():
+            rb = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["pk"], pa.string()),
+                    pa.array(out["term"], pa.string()),
+                    pa.array(np.asarray(out["shard"], np.int32), pa.int32()),
+                    pa.array(np.asarray(out["n"], np.int32), pa.int32()),
+                    pa.array(out["data"], pa.binary()),
+                    pa.array(out["bl"], pa.list_(pa.int64())),
+                    pa.array(out["bm"], pa.list_(pa.float64())),
+                ],
+                names=[
+                    "pk", "term", "shard", "n", "data",
+                    "block_last", "block_max",
+                ],
+            )
+            for k in out:
+                out[k].clear()
+            return rb
+
+        def emit(key, runs_l, avgdl):
+            nonlocal out_bytes
+            pk, term, shard = key
+            base = int(shard) * shard_size
+            if len(runs_l) == 1:
+                n0, d0 = runs_l[0]
+                ids, tfs, dls = codec.unpack_run(bytes(d0), int(n0), base)
+            else:
+                ids_l, tfs_l, dls_l = [], [], []
+                for n0, d0 in runs_l:
+                    i, t, d = codec.unpack_run(bytes(d0), int(n0), base)
+                    ids_l.append(i)
+                    tfs_l.append(t)
+                    dls_l.append(d)
+                ids = np.concatenate(ids_l)
+                tfs = np.concatenate(tfs_l).astype(np.int64)
+                dls = np.concatenate(dls_l).astype(np.int64)
+                order = np.argsort(ids, kind="stable")
+                ids, tfs, dls = ids[order], tfs[order], dls[order]
+            data, n, bl, bm = codec.pack_postings(
+                ids, tfs, dls, base, k1, b, float(avgdl)
+            )
+            out["pk"].append(pk)
+            out["term"].append(term)
+            out["shard"].append(shard)
+            out["n"].append(n)
+            out["data"].append(data)
+            out["bl"].append(bl)
+            out["bm"].append(bm)
+            out_bytes += len(data)
+
+        cur_key = None
+        cur_runs: list[tuple[int, bytes]] = []
+        cur_avgdl = 0.0
         for rb in batches:
             cols = dict(zip(rb.schema.names, rb.columns))
-            pk_a = cols["pk"].to_pylist()
-            term_a = cols["term"].to_pylist()
-            shard_a = cols["shard"].to_pylist()
-            n_a = cols["n"].to_pylist()
-            data_a = cols["data"].to_pylist()
-            av_a = cols["avgdl"].to_pylist()
             for pk, term, shard, n, data, av in zip(
-                pk_a, term_a, shard_a, n_a, data_a, av_a
+                cols["pk"].to_pylist(),
+                cols["term"].to_pylist(),
+                cols["shard"].to_pylist(),
+                cols["n"].to_pylist(),
+                cols["data"].to_pylist(),
+                cols["avgdl"].to_pylist(),
             ):
-                groups.setdefault((pk, term, shard), []).append((n, data))
-                avgdls[pk] = av
-        if not groups:
-            return
-        pks, terms_o, shards_o, ns, datas, bls, bms = [], [], [], [], [], [], []
-        for (pk, term, shard), lst in groups.items():
-            base = int(shard) * shard_size
-            ids_l, tfs_l, dls_l = [], [], []
-            for n, data in lst:
-                i, t, d = codec.unpack_run(bytes(data), int(n), base)
-                ids_l.append(i)
-                tfs_l.append(t)
-                dls_l.append(d)
-            ids = np.concatenate(ids_l)
-            tfs = np.concatenate(tfs_l).astype(np.int64)
-            dls = np.concatenate(dls_l).astype(np.int64)
-            order = np.argsort(ids, kind="stable")
-            data, n, bl, bm = codec.pack_postings(
-                ids[order], tfs[order], dls[order], base, k1, b,
-                float(avgdls[pk]),
-            )
-            pks.append(pk)
-            terms_o.append(term)
-            shards_o.append(shard)
-            ns.append(n)
-            datas.append(data)
-            bls.append(bl)
-            bms.append(bm)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(pks, pa.string()),
-                pa.array(terms_o, pa.string()),
-                pa.array(np.asarray(shards_o, np.int32), pa.int32()),
-                pa.array(np.asarray(ns, np.int32), pa.int32()),
-                pa.array(datas, pa.binary()),
-                pa.array(bls, pa.list_(pa.int64())),
-                pa.array(bms, pa.list_(pa.float64())),
-            ],
-            names=["pk", "term", "shard", "n", "data", "block_last", "block_max"],
-        )
+                key = (pk, term, shard)
+                if key != cur_key:
+                    if cur_key is not None:
+                        emit(cur_key, cur_runs, cur_avgdl)
+                        if out_bytes >= _FLUSH_BYTES:
+                            yield out_batch()
+                            out_bytes = 0
+                    cur_key, cur_runs = key, []
+                cur_runs.append((n, data))
+                cur_avgdl = av
+        if cur_key is not None:
+            emit(cur_key, cur_runs, cur_avgdl)
+        if out["pk"]:
+            yield out_batch()
 
     # explicit partition count: AQE would coalesce this exchange to ~1 task
     # (compressed runs LOOK tiny) and serialize the decode+merge work
     spark = src.sparkSession
     n_merge = int(spark.conf.get("spark.sql.shuffle.partitions"))
     packed = (
-        runs.filter(F.col("term") != _STATS_TERM)
+        runs.filter(F.length("term") >= 2)  # real tokens only, no sentinels
         .join(F.broadcast(stats.select("pk", "avgdl")), "pk")
         .repartition(n_merge, "pk", "term", "shard")
+        .sortWithinPartitions("pk", "term", "shard")
         .mapInArrow(merge_runs, schema=PACKED_SCHEMA)
     )
     return runs, stats, packed
+
+
+def doclens_view(runs: DataFrame) -> DataFrame:
+    """(pk, doc_id, dl) for every document — decoded from the per-task
+    varint sentinel rows the fused pack pass emits, so the corpus is never
+    tokenized a second time to learn document lengths."""
+    import pyarrow as pa
+
+    from bm25_spark.functions import codec
+
+    out_schema = StructType(
+        [
+            StructField("pk", StringType(), False),
+            StructField("doc_id", LongType(), False),
+            StructField("dl", IntegerType(), False),
+        ]
+    )
+
+    def dec(batches):
+        for rb in batches:
+            cols = dict(zip(rb.schema.names, rb.columns))
+            for pk, n, data in zip(
+                cols["pk"].to_pylist(),
+                cols["n"].to_pylist(),
+                cols["data"].to_pylist(),
+            ):
+                vals = codec.decode_varints(bytes(data))
+                assert len(vals) == 2 * n
+                ids = np.cumsum(vals[0::2].astype(np.int64))
+                dls = vals[1::2].astype(np.int32)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([pk] * int(n), pa.string()),
+                        pa.array(ids, pa.int64()),
+                        pa.array(dls, pa.int32()),
+                    ],
+                    names=["pk", "doc_id", "dl"],
+                )
+
+    return runs.filter(F.col("term") == _DL_TERM).select(
+        "pk", "n", "data"
+    ).mapInArrow(dec, schema=out_schema)
 
 
 def decoded_postings_view(packed: DataFrame, shard_size: int) -> DataFrame:
@@ -531,13 +664,59 @@ class IndexPaths:
     def stats(self):
         return f"{self.root}/stats"
 
+    @property
+    def doclens(self):
+        return f"{self.root}/doclens"
+
+    @property
+    def meta(self):
+        return f"{self.root}/meta.json"
+
+
+def index_meta(index: BM25Index) -> dict:
+    """Decode-critical + semantic parameters persisted alongside the data.
+    shard_size is DECODE-critical (doc_id = shard*shard_size + deltas): a
+    reader guessing it wrong silently corrupts every doc_id, so it is never
+    defaulted on read."""
+    return {
+        "format_version": 1,
+        "shard_size": index.shard_size,
+        "k1": index.k1,
+        "b": index.b,
+        "partitioned": index.partitioned,
+        "index_fields": list(index.index_fields),
+        "stopwords": sorted(index.stopwords) if index.stopwords else None,
+        "text_col": index.text_col,
+    }
+
+
+def _write_meta(meta: dict, path: str) -> None:
+    import json
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, path)
+
+
+def read_meta(path: str) -> dict | None:
+    import json
+
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
 
 def write_index(index: BM25Index, root: str, mode: str = "overwrite") -> None:
-    """Persist the index star. Parquet locally; on a cluster these writers
-    target Iceberg tables partitioned by (pk) [postings additionally
-    bucketed by term] — same layout, swap ``parquet`` for ``saveAsTable``.
-    The postings table is the PACKED form (delta+varint blobs + block-max);
-    readers re-derive the array view lazily."""
+    """Persist the index star + meta.json. Parquet locally; on a cluster
+    these writers target Iceberg tables partitioned by (pk) [postings
+    additionally bucketed by term] — same layout, swap ``parquet`` for
+    ``saveAsTable``. The postings table is the PACKED form (delta+varint
+    blobs + block-max); readers re-derive the array view lazily. meta.json
+    carries shard_size/k1/b/fields/stopwords so readers cannot silently
+    decode with mismatched parameters."""
     p = IndexPaths(root)
 
     def w(df, path):
@@ -551,33 +730,72 @@ def write_index(index: BM25Index, root: str, mode: str = "overwrite") -> None:
     w(index.docs, p.docs)
     w(index.terms, p.terms)
     w(index.packed if index.packed is not None else index.postings, p.postings)
+    if index.doclens is not None:
+        w(index.doclens, p.doclens)
     index.stats.write.mode(mode).parquet(p.stats)
+    os.makedirs(root, exist_ok=True)
+    _write_meta(index_meta(index), p.meta)
 
 
 def read_index(
     spark: SparkSession,
     root: str,
-    k1: float = DEFAULT_K1,
-    b: float = DEFAULT_B,
-    index_fields: tuple[str, ...] = ("role", "tool", "conv_id"),
+    k1: float | None = None,
+    b: float | None = None,
+    index_fields: tuple[str, ...] | None = None,
     stopwords=None,
-    partitioned: bool = False,
-    shard_size: int = DEFAULT_SHARD_SIZE,
+    partitioned: bool | None = None,
+    shard_size: int | None = None,
 ) -> BM25Index:
+    """Load a persisted index. Parameters default from the root's meta.json
+    (the write-side truth); explicit arguments override. shard_size given
+    neither way is an error for packed indexes — silently defaulting it
+    would decode corrupt doc_ids."""
     p = IndexPaths(root)
-    post = spark.read.parquet(p.postings)
+    meta = read_meta(p.meta) or {}
+    k1 = k1 if k1 is not None else meta.get("k1", DEFAULT_K1)
+    b = b if b is not None else meta.get("b", DEFAULT_B)
+    if index_fields is None:
+        index_fields = tuple(
+            meta.get("index_fields", ("role", "tool", "conv_id"))
+        )
+    if stopwords is None:
+        stopwords = meta.get("stopwords")
+    if partitioned is None:
+        partitioned = bool(meta.get("partitioned", False))
+
+    def rd(path: str) -> DataFrame:
+        df = spark.read.parquet(path)
+        if "pk" in df.columns:
+            # hive partition discovery can infer numeric pk values as int;
+            # every driver-side cache and RESULT_SCHEMA key pk as string
+            df = df.withColumn("pk", F.col("pk").cast("string"))
+        return df
+
+    post = rd(p.postings)
     packed = post if "data" in post.columns else None
+    if shard_size is None:
+        shard_size = meta.get("shard_size")
+        if shard_size is None:
+            if packed is not None:
+                raise ValueError(
+                    f"{root}: no meta.json and no shard_size given — "
+                    "refusing to guess a decode-critical parameter"
+                )
+            shard_size = DEFAULT_SHARD_SIZE
+    doclens = rd(p.doclens) if os.path.isdir(p.doclens) else None
     return BM25Index(
         spark=spark,
-        docs=spark.read.parquet(p.docs),
-        terms=spark.read.parquet(p.terms),
+        docs=rd(p.docs),
+        terms=rd(p.terms),
         postings=(
             decoded_postings_view(packed, shard_size)
             if packed is not None
             else post
         ),
         packed=packed,
-        stats=spark.read.parquet(p.stats),
+        stats=rd(p.stats),
+        doclens=doclens,
         k1=k1,
         b=b,
         index_fields=tuple(index_fields),

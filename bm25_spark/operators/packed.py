@@ -58,6 +58,7 @@ from bm25_spark.operators.searcher import (
     RESULT_SCHEMA,
     _filter_predicate,
     _query_frame_with_idf,
+    empty_result,
 )
 
 PACKED_FIELDS = StructType(
@@ -528,7 +529,7 @@ def search_packed(
     spark = index.spark
     qrows = _qrows(index, queries, stopwords)
     if not qrows:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return empty_result(spark)
 
     allowed = None
     if flt:
@@ -549,7 +550,7 @@ def search_packed(
                     for pk, g in apdf.groupby("pk", sort=False)
                 }
                 if not allowed_by_pk:
-                    return spark.createDataFrame([], RESULT_SCHEMA)
+                    return empty_result(spark)
             else:
                 driver_ok = False
         if driver_ok:
@@ -558,7 +559,7 @@ def search_packed(
                 prune=prune, allowed_by_pk=allowed_by_pk,
             )
             if not rows_out:
-                return spark.createDataFrame([], RESULT_SCHEMA)
+                return empty_result(spark)
             # pandas + Arrow: orders of magnitude faster than the
             # row-tuple reflection path for driver-built results
             pdf = pd.DataFrame(

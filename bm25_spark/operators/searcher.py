@@ -58,6 +58,21 @@ _QIDF_SCHEMA = (
     "query_id long, pk string, term string, qtf int, idf double, avgdl double"
 )
 
+_EMPTY_RESULT_SQL = (
+    "SELECT CAST(0 AS BIGINT) AS query_id, '' AS pk, "
+    "CAST(0 AS BIGINT) AS doc_id, CAST(0.0 AS DOUBLE) AS score, "
+    "CAST(0 AS INT) AS rank WHERE 1=0"
+)
+
+
+def empty_result(spark) -> DataFrame:
+    """Zero-row RESULT_SCHEMA frame as a LocalRelation: WHERE-false over a
+    one-row relation folds to an empty LocalTableScan, so actions on it are
+    driver-local (~30ms) instead of the ~0.5s job-scheduling cost of the
+    createDataFrame([], schema) parallelize path. All-stopword, unknown-term
+    and empty-filter queries return through here (bm25.dart:220,600,628)."""
+    return spark.sql(_EMPTY_RESULT_SQL)
+
 
 def _stats_map(index: BM25Index, partition_keys) -> dict:
     """pk -> (n_docs, avgdl), collected once per index and cached."""
@@ -164,7 +179,7 @@ def search_batch(
         for term, qtf in query_term_counts(qtext, stop).items():
             qrows.append((qid, term, qtf))
     if not qrows:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return empty_result(spark)
 
     needed_terms = sorted({t for _, t, _ in qrows})
 

@@ -111,15 +111,21 @@ def checkpointed_build(
         part = with_ids.filter(F.col(partition_col).cast("string") == key)
         idx = build_index(part, partition_col=partition_col, **build_kwargs)
         metrics = {}
-        for tname, df in (
+        tables = [
             ("docs", idx.docs),
             ("terms", idx.terms),
             ("postings", idx.packed if idx.packed is not None else idx.postings),
             ("stats", idx.stats),
-        ):
+        ]
+        if idx.doclens is not None:
+            tables.append(("doclens", idx.doclens))
+        for tname, df in tables:
             path = os.path.join(root, tname, f"pk={key}")
             df.drop("pk").write.mode("overwrite").parquet(path)
             metrics[f"{tname}_rows"] = df.sparkSession.read.parquet(path).count()
+        from bm25_spark.operators.indexer import _write_meta, index_meta
+
+        _write_meta(index_meta(idx), os.path.join(root, "meta.json"))
         manifest = {
             "pk": key,
             "status": "done",
@@ -143,9 +149,11 @@ def read_checkpointed_index(spark: SparkSession, root: str, shard_size: int | No
         DEFAULT_SHARD_SIZE,
         BM25Index,
         decoded_postings_view,
+        read_meta,
     )
 
-    shard_size = shard_size or DEFAULT_SHARD_SIZE
+    meta = read_meta(os.path.join(root, "meta.json")) or {}
+    shard_size = shard_size or meta.get("shard_size") or DEFAULT_SHARD_SIZE
 
     def rd(tname: str) -> DataFrame:
         df = spark.read.option("basePath", os.path.join(root, tname)).parquet(
@@ -155,6 +163,11 @@ def read_checkpointed_index(spark: SparkSession, root: str, shard_size: int | No
 
     post = rd("postings")
     packed = post if "data" in post.columns else None
+    doclens = (
+        rd("doclens")
+        if os.path.isdir(os.path.join(root, "doclens"))
+        else None
+    )
     return BM25Index(
         spark=spark,
         docs=rd("docs"),
@@ -166,6 +179,13 @@ def read_checkpointed_index(spark: SparkSession, root: str, shard_size: int | No
         ),
         packed=packed,
         stats=rd("stats"),
+        doclens=doclens,
+        k1=meta.get("k1", 1.2),
+        b=meta.get("b", 0.75),
+        index_fields=tuple(meta.get("index_fields", ("role", "tool", "conv_id"))),
+        stopwords=(
+            frozenset(meta["stopwords"]) if meta.get("stopwords") else None
+        ),
         partitioned=True,
         shard_size=shard_size,
     )

@@ -161,6 +161,36 @@ def test_chunked_partial_pack_identical(spark, packed_synth):
         assert a == b, q
 
 
+def test_chunked_build_identical_packed_table(spark, packed_synth):
+    """Byte-level check: many partial runs per group (tiny chunk) through
+    the streaming group-by-group merge must produce the exact same packed
+    blobs and block metadata as the single-run build."""
+    df = synthetic_transcripts(spark, n_convs=30, seed=11)
+    idx_chunked = build_index(df, shard_size=64, chunk_postings=50)
+
+    def snap(idx):
+        return sorted(
+            (
+                r["pk"], r["term"], r["shard"], r["n"], bytes(r["data"]),
+                tuple(r["block_last"]), tuple(r["block_max"]),
+            )
+            for r in idx.packed.collect()
+        )
+
+    assert snap(idx_chunked) == snap(packed_synth)
+
+
+def test_doclens_view_matches_tokenizer(packed_synth):
+    """doclens (decoded from the build's sentinel rows — no second tokenize
+    pass) agrees with direct tokenization of every document."""
+    from bm25_spark.functions.analyzer import tokenize_text
+
+    docs = packed_synth.docs.select("doc_id", "text").collect()
+    want = {r["doc_id"]: len(tokenize_text(r["text"])) for r in docs}
+    got = {r["doc_id"]: r["dl"] for r in packed_synth.doclens.collect()}
+    assert got == want
+
+
 def test_packed_batch_and_empty(packed_synth):
     res = search_packed(packed_synth, [(0, "spark"), (1, ""), (2, "zzqq")], limit=5)
     rows = res.collect()
