@@ -97,9 +97,15 @@ def pack_postings(
     k1: float,
     b: float,
     avgdl: float,
-) -> tuple[bytes, int, list[int], list[float]]:
-    """Returns (data, n, block_last_doc, block_max). Input must be
-    doc-sorted."""
+) -> tuple[bytes, int, list[int], list[float], list[int]]:
+    """Returns (data, n, block_last_doc, block_max, block_off). Input must
+    be doc-sorted.
+
+    ``block_off[i]`` is the byte offset of block i's first varint triple.
+    The delta chain runs straight through block boundaries, so a block can
+    be decoded standalone: its first delta is relative to
+    ``block_last[i-1]`` (``shard_base`` for block 0) — see unpack_blocks.
+    """
     n = len(doc_ids)
     doc_ids = doc_ids.astype(np.int64)
     deltas = np.empty(n, dtype=np.uint64)
@@ -109,16 +115,18 @@ def pack_postings(
     interleaved[0::3] = deltas
     interleaved[1::3] = tfs.astype(np.uint64)
     interleaved[2::3] = dls.astype(np.uint64)
-    data = encode_varints(interleaved)
+    data, nbytes = encode_varints(interleaved, return_lengths=True)
+    cum = np.concatenate(([0], np.cumsum(nbytes)))
 
     norm = (1.0 - b) + b * dls.astype(np.float64) / avgdl
     partial = tfs.astype(np.float64) * (k1 + 1.0) / (tfs + k1 * norm)
-    block_last, block_max = [], []
+    block_last, block_max, block_off = [], [], []
     for s in range(0, n, BLOCK):
         e = min(s + BLOCK, n)
         block_last.append(int(doc_ids[e - 1]))
         block_max.append(float(partial[s:e].max()))
-    return data, n, block_last, block_max
+        block_off.append(int(cum[3 * s]))
+    return data, n, block_last, block_max, block_off
 
 
 def unpack_postings(
@@ -132,6 +140,45 @@ def unpack_postings(
     dls = vals[2::3].astype(np.int32)
     doc_ids = np.cumsum(deltas) + shard_base
     return doc_ids, tfs, dls
+
+
+def unpack_blocks(
+    data: bytes,
+    n: int,
+    shard_base: int,
+    block_last: np.ndarray,
+    block_off: np.ndarray,
+    sel: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode ONLY the selected blocks (sorted unique block indices) of a
+    packed posting blob — the physical read behind block-max WAND: ruled-out
+    blocks are never varint-decoded. Contiguous selected blocks decode as
+    one run. Returns (doc_ids, tfs, dls) concatenated in doc order."""
+    nb = len(block_last)
+    if len(sel) == 0:
+        z = np.empty(0, np.int64)
+        return z, z.astype(np.int32), z.astype(np.int32)
+    # split sel into runs of consecutive block indices
+    cuts = np.flatnonzero(np.diff(sel) != 1) + 1
+    runs = np.split(sel, cuts)
+    ids_l, tfs_l, dls_l = [], [], []
+    for run in runs:
+        b0, b1 = int(run[0]), int(run[-1])
+        lo = int(block_off[b0])
+        hi = int(block_off[b1 + 1]) if b1 + 1 < nb else len(data)
+        vals = decode_varints(data[lo:hi])
+        n_post = (min((b1 + 1) * BLOCK, n)) - b0 * BLOCK
+        assert len(vals) == 3 * n_post, (len(vals), n_post)
+        deltas = vals[0::3].astype(np.int64)
+        base = int(block_last[b0 - 1]) if b0 > 0 else shard_base
+        ids_l.append(np.cumsum(deltas) + base)
+        tfs_l.append(vals[1::3].astype(np.int32))
+        dls_l.append(vals[2::3].astype(np.int32))
+    return (
+        np.concatenate(ids_l),
+        np.concatenate(tfs_l),
+        np.concatenate(dls_l),
+    )
 
 
 def pack_run(

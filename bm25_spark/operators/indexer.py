@@ -245,6 +245,7 @@ PACKED_SCHEMA = StructType(
         StructField("data", BinaryType(), False),
         StructField("block_last", ArrayType(LongType()), False),
         StructField("block_max", ArrayType(DoubleType()), False),
+        StructField("block_off", ArrayType(IntegerType()), False),
     ]
 )
 
@@ -470,7 +471,10 @@ def _pack_pipeline(
     _FLUSH_BYTES = 64 << 20
 
     def merge_runs(batches):
-        out = {k: [] for k in ("pk", "term", "shard", "n", "data", "bl", "bm")}
+        out = {
+            k: []
+            for k in ("pk", "term", "shard", "n", "data", "bl", "bm", "off")
+        }
         out_bytes = 0
 
         def out_batch():
@@ -483,10 +487,11 @@ def _pack_pipeline(
                     pa.array(out["data"], pa.binary()),
                     pa.array(out["bl"], pa.list_(pa.int64())),
                     pa.array(out["bm"], pa.list_(pa.float64())),
+                    pa.array(out["off"], pa.list_(pa.int32())),
                 ],
                 names=[
                     "pk", "term", "shard", "n", "data",
-                    "block_last", "block_max",
+                    "block_last", "block_max", "block_off",
                 ],
             )
             for k in out:
@@ -512,7 +517,7 @@ def _pack_pipeline(
                 dls = np.concatenate(dls_l).astype(np.int64)
                 order = np.argsort(ids, kind="stable")
                 ids, tfs, dls = ids[order], tfs[order], dls[order]
-            data, n, bl, bm = codec.pack_postings(
+            data, n, bl, bm, off = codec.pack_postings(
                 ids, tfs, dls, base, k1, b, float(avgdl)
             )
             out["pk"].append(pk)
@@ -522,6 +527,7 @@ def _pack_pipeline(
             out["data"].append(data)
             out["bl"].append(bl)
             out["bm"].append(bm)
+            out["off"].append(off)
             out_bytes += len(data)
 
         cur_key = None

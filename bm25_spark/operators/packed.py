@@ -67,6 +67,7 @@ PACKED_FIELDS = StructType(
         StructField("data", BinaryType(), False),
         StructField("block_last", ArrayType(LongType()), False),
         StructField("block_max", ArrayType(DoubleType()), False),
+        StructField("block_off", ArrayType(IntegerType()), False),
     ]
 )
 
@@ -99,18 +100,22 @@ def pack_index(index: BM25Index) -> BM25Index:
         shards: pd.Series,
         avgdls: pd.Series,
     ) -> pd.DataFrame:
-        out = {"n": [], "data": [], "block_last": [], "block_max": []}
+        out = {
+            "n": [], "data": [], "block_last": [], "block_max": [],
+            "block_off": [],
+        }
         for ids, tf, dl, shard, avgdl in zip(doc_ids, tfs, dls, shards, avgdls):
             ids = np.asarray(ids, dtype=np.int64)
             tf = np.asarray(tf, dtype=np.int64)
             dl = np.asarray(dl, dtype=np.int64)
-            data, n, bl, bm = codec.pack_postings(
+            data, n, bl, bm, off = codec.pack_postings(
                 ids, tf, dl, int(shard) * shard_size, k1, b, float(avgdl)
             )
             out["n"].append(n)
             out["data"].append(data)
             out["block_last"].append(bl)
             out["block_max"].append(bm)
+            out["block_off"].append(off)
         return pd.DataFrame(out)
 
     p = index.postings.join(F.broadcast(index.stats.select("pk", "avgdl")), "pk")
@@ -125,7 +130,10 @@ def pack_index(index: BM25Index) -> BM25Index:
             F.col("shard"),
             F.col("avgdl"),
         ).alias("z"),
-    ).select("pk", "term", "shard", "z.n", "z.data", "z.block_last", "z.block_max")
+    ).select(
+        "pk", "term", "shard", "z.n", "z.data", "z.block_last",
+        "z.block_max", "z.block_off",
+    )
     index.packed = packed
     return index
 
@@ -243,16 +251,30 @@ def _fetch_raw_blobs(index: BM25Index, wanted: set[tuple[str, str, int]]) -> Non
     if missing:
         terms_m = sorted({t for _, t, _ in missing})
         pks_m = sorted({p for p, _, _ in missing})
+        has_off = "block_off" in index.packed.columns
+        cols = ["pk", "term", "shard", "n", "data", "block_last", "block_max"]
+        if has_off:
+            cols.append("block_off")
         rows = (
             index.packed.filter(
                 F.col("term").isin(terms_m) & F.col("pk").isin(pks_m)
             )
-            .select("pk", "term", "shard", "n", "data")
+            .select(*cols)
             .collect()
         )
         for r in rows:
             key = (r["pk"], r["term"], int(r["shard"]))
-            cache[key] = (int(r["n"]), bytes(r["data"]))
+            cache[key] = (
+                int(r["n"]),
+                bytes(r["data"]),
+                np.asarray(r["block_last"], dtype=np.int64),
+                np.asarray(r["block_max"], dtype=np.float64),
+                (
+                    np.asarray(r["block_off"], dtype=np.int64)
+                    if has_off and r["block_off"] is not None
+                    else None  # legacy blobs: no offsets -> full decode
+                ),
+            )
 
 
 def _decoded(index: BM25Index, key: tuple[str, str, int]):
@@ -264,7 +286,7 @@ def _decoded(index: BM25Index, key: tuple[str, str, int]):
     raw = index.__dict__.get("_raw_blob_cache", {}).get(key)
     if raw is None:
         return None
-    n, data = raw
+    n, data = raw[0], raw[1]
     out = codec.unpack_postings(data, n, key[2] * index.shard_size)
     dcache[key] = out
     return out
@@ -333,9 +355,22 @@ def _driver_topk(
                     shard_terms.setdefault(shard, []).append((term, qtf, idf))
             if not shard_ub:
                 continue
-            # WAND at shard granularity: visit shards in ub-descending
-            # order; once the running k-th score beats a shard's upper
-            # bound, that shard (and all remaining) is never fetched.
+            # WAND, two granularities (both bounds are TRUE upper bounds,
+            # pruning is strict '< theta', so the top-k stays exact even on
+            # score ties at the boundary):
+            # 1. shard level: visit shards in ub-descending order; stop
+            #    when the running k-th score strictly beats a shard's bound
+            #    (this shard and all remaining are never decoded).
+            # 2. block level, inside a surviving shard: the union of every
+            #    term's block_last boundaries partitions the shard's doc-id
+            #    space into segments, each covered by exactly one block per
+            #    term; a segment whose summed block maxima cannot reach
+            #    theta is dead, and a block ALL of whose segments are dead
+            #    is never varint-decoded (codec.unpack_blocks jumps over it
+            #    via block_off). Docs in dead segments are masked out of
+            #    straddling blocks — their true score is < theta, so
+            #    dropping them cannot change the top-k; every kept doc has
+            #    all of its blocks decoded, so kept scores are exact.
             order = sorted(shard_ub, key=lambda s: -shard_ub[s])
             k_eff = per_partition_limit or limit
             theta = -np.inf
@@ -343,28 +378,89 @@ def _driver_topk(
             kept_scores: list[np.ndarray] = []
             n_kept = 0
             for shard in order:
-                if prune and n_kept >= k_eff and shard_ub[shard] <= theta:
+                if prune and n_kept >= k_eff and shard_ub[shard] < theta:
                     break
-                docs_l, contrib_l = [], []
+                cache = index.__dict__.get("_raw_blob_cache", {})
+                entries = []
                 for term, qtf, idf in shard_terms[shard]:
-                    blob = _decoded(index, (pk, term, shard))
-                    if blob is None:
+                    raw = cache.get((pk, term, shard))
+                    if raw is not None:
+                        entries.append((term, qtf, idf, raw))
+                if not entries:
+                    continue
+                use_blocks = (
+                    prune
+                    and n_kept >= k_eff
+                    and np.isfinite(theta)
+                    and all(e[3][4] is not None for e in entries)
+                )
+                if use_blocks:
+                    bounds = np.unique(
+                        np.concatenate([e[3][2] for e in entries])
+                    )
+                    seg_ub = np.zeros(len(bounds))
+                    cover = []
+                    for term, qtf, idf, (n, data, bl, bm, off) in entries:
+                        ci = np.searchsorted(bl, bounds)
+                        valid = ci < len(bl)
+                        seg_ub[valid] += qtf * idf * bm[ci[valid]]
+                        cover.append((ci, valid))
+                    alive = seg_ub >= theta
+                    if not alive.any():
                         continue
-                    ids, tfs, dls = blob
-                    if allowed_by_pk is not None:
-                        # reference semantics: filtered docs skipped during
-                        # traversal (bm25.dart:644); mask-only ⇒ the shard
-                        # upper bounds stay valid (pruning remains exact)
-                        pos = np.searchsorted(allow, ids).clip(
-                            max=len(allow) - 1
-                        )
-                        keep = allow[pos] == ids
+                docs_l, contrib_l = [], []
+                for ei, (term, qtf, idf, raw) in enumerate(entries):
+                    n, data, bl, bm, off = raw
+                    if use_blocks:
+                        ci, valid = cover[ei]
+                        need = np.unique(ci[alive & valid])
+                        if len(need) == 0:
+                            continue
+                        if len(need) == len(bl):
+                            ids, tfs, dls = _decoded(index, (pk, term, shard))
+                        else:
+                            ids, tfs, dls = codec.unpack_blocks(
+                                data, n, shard * index.shard_size, bl, off,
+                                need,
+                            )
+                        seg_id = np.searchsorted(bounds, ids)
+                        keep = alive[seg_id]
+                        if allowed_by_pk is not None:
+                            pos = np.searchsorted(allow, ids).clip(
+                                max=len(allow) - 1
+                            )
+                            keep &= allow[pos] == ids
                         if not keep.any():
                             continue
                         ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                    else:
+                        blob = _decoded(index, (pk, term, shard))
+                        if blob is None:
+                            continue
+                        ids, tfs, dls = blob
+                        if allowed_by_pk is not None:
+                            # reference semantics: filtered docs skipped
+                            # during traversal (bm25.dart:644); mask-only ⇒
+                            # the upper bounds stay valid (pruning exact)
+                            pos = np.searchsorted(allow, ids).clip(
+                                max=len(allow) - 1
+                            )
+                            keep = allow[pos] == ids
+                            if not keep.any():
+                                continue
+                            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
                     tfs = tfs.astype(np.float64)
                     norm = (1.0 - b) + b * dls.astype(np.float64) / avgdl
-                    contrib_l.append(qtf * idf * tfs * (k1 + 1.0) / (tfs + k1 * norm))
+                    # float-association contract with the WAND bounds: the
+                    # per-posting partial is computed EXACTLY as
+                    # codec.pack_postings computes block_max (same ops, same
+                    # order), then scaled by w = qtf*idf — the same product
+                    # the bounds use. IEEE rounding is monotonic, so
+                    # score <= bound holds in floats, not just in math; a
+                    # different association can put a true score 1 ulp ABOVE
+                    # its "upper bound" and mask an equal-scored doc.
+                    w = qtf * idf
+                    contrib_l.append(w * (tfs * (k1 + 1.0) / (tfs + k1 * norm)))
                     docs_l.append(ids)
                 if not docs_l:
                     continue
@@ -496,7 +592,10 @@ def _cluster_scored(
         np.add.at(acc, inv, contrib)
         k = min(group_limit, len(uniq))
         if k < len(uniq):
-            idx = np.argpartition(-acc, k - 1)[:k]
+            # exact cut with the global (score desc, doc_id asc) tie-break:
+            # an equal-scored doc at the k boundary must not be dropped by
+            # an order-agnostic partition
+            idx = np.lexsort((uniq, -acc))[:k]
         else:
             idx = np.arange(len(uniq))
         return pd.DataFrame(

@@ -17,6 +17,7 @@ query-serving always happens against a compacted view).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,6 +28,30 @@ from bm25_spark.operators.docids import assign_doc_ids
 
 def _segment_path(root: str, batch_id: int) -> str:
     return os.path.join(root, "segments", f"segment={batch_id}")
+
+
+def _offsets_path(root: str) -> str:
+    return os.path.join(root, "segments", "_offsets.json")
+
+
+def _meta_path(root: str) -> str:
+    return os.path.join(root, "ingest_meta.json")
+
+
+def _load_json(path: str) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def _store_json(obj: dict, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
 
 
 def stream_ingest(
@@ -42,24 +67,44 @@ def stream_ingest(
 ):
     """Start (and with available_now=True, run to completion) the ingest
     stream. Each segment holds raw doc rows with stable global doc_ids for
-    later global compaction (``stopwords``/``text_col`` are compaction-time
-    concerns, accepted here for API symmetry)."""
+    later global compaction. ``stopwords``/``text_col`` are compaction-time
+    tokenizer settings — they are recorded in ingest_meta.json so
+    compact_segments applies them without the caller re-passing.
+
+    Per-batch doc_id offsets come from a tiny manifest
+    (segments/_offsets.json) updated per batch — O(1) driver work per
+    micro-batch, never a scan over all existing segments. A re-run of the
+    same batch_id (failure replay) reuses its recorded offset, so doc_ids
+    stay stable and the segment overwrite stays idempotent."""
     checkpoint_dir = checkpoint_dir or os.path.join(root, "_checkpoint")
+    _store_json(
+        {
+            "stopwords": sorted(stopwords) if stopwords else None,
+            "text_col": text_col,
+            "order_cols": list(order_cols),
+        },
+        _meta_path(root),
+    )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        seg_root = os.path.join(root, "segments")
-        offset = 0
-        if os.path.isdir(seg_root) and any(
-            n.startswith("segment=") for n in os.listdir(seg_root)
-        ):
-            existing = spark.read.parquet(os.path.join(seg_root, "segment=*"))
-            offset = existing.agg(F.max("doc_id")).collect()[0][0] + 1
+        man = _load_json(_offsets_path(root))
+        key = str(batch_id)
+        if key in man:
+            offset = int(man[key]["offset"])  # replayed batch: stable ids
+        else:
+            offset = max(
+                (int(v["offset"]) + int(v["n"]) for v in man.values()),
+                default=0,
+            )
         base = assign_doc_ids(batch_df, order_cols=order_cols)
         seg = base.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
         # idempotent: re-run of the same batch_id overwrites the same dir
         seg.write.mode("overwrite").parquet(_segment_path(root, batch_id))
+        n = spark.read.parquet(_segment_path(root, batch_id)).count()
+        man[key] = {"offset": offset, "n": n}
+        _store_json(man, _offsets_path(root))
 
     stream = spark.readStream.schema(schema).parquet(input_path)
     writer = (
@@ -81,19 +126,31 @@ def compact_segments(
     index_fields: tuple[str, ...] = ("role", "tool", "conv_id"),
     shard_size: int = 1 << 20,
     partition_col: str | None = None,
+    stopwords=None,
+    text_col: str | None = None,
 ):
     """Merge all segments into a BM25Index with global statistics.
     Segments carry stable doc_ids, so compaction is exactly a batch build
-    over their union (fused tokenize+pack, same plan)."""
+    over their union (fused tokenize+pack, same plan). ``stopwords`` and
+    ``text_col`` default from the ingest_meta.json the ingest stream wrote,
+    so the tokenizer settings given at ingest time are honored here without
+    re-passing; explicit arguments override."""
     from bm25_spark.operators.indexer import build_index
 
+    meta = _load_json(_meta_path(root))
+    if stopwords is None:
+        stopwords = meta.get("stopwords")
+    if text_col is None:
+        text_col = meta.get("text_col", "text")
     seg = spark.read.parquet(os.path.join(root, "segments", "segment=*"))
     return build_index(
         seg,
+        text_col=text_col,
         id_col="doc_id",
         k1=k1,
         b=b,
         index_fields=tuple(index_fields),
         partition_col=partition_col,
+        stopwords=stopwords,
         shard_size=shard_size,
     )

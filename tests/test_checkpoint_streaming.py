@@ -76,3 +76,33 @@ def test_stream_ingest_and_compact(spark, tmp_path):
     b = sorted(round(r["score"], 9) for r in
                searcher.search(batch_idx, "spark data query", 10).collect())
     assert a == b
+    # O(1) offset manifest recorded one entry per non-empty micro-batch
+    import json
+    with open(str(tmp_path / "stream_idx" / "segments" / "_offsets.json")) as f:
+        man = json.load(f)
+    assert sum(v["n"] for v in man.values()) == n
+    offsets = sorted((v["offset"], v["n"]) for v in man.values())
+    acc = 0
+    for off, cnt in offsets:
+        assert off == acc
+        acc += cnt
+
+
+def test_stream_ingest_stopwords_reach_compaction(spark, tmp_path):
+    """Stopwords given at ingest time are recorded in ingest_meta.json and
+    applied by compact_segments (regression: they were silently dropped)."""
+    df = synthetic_transcripts(spark, n_convs=6, seed=9)
+    inp = str(tmp_path / "in")
+    root = str(tmp_path / "stream_idx_sw")
+    df.write.mode("overwrite").parquet(inp)
+    ingest.stream_ingest(
+        spark, inp, root, TRANSCRIPT_SCHEMA, stopwords=("data", "spark")
+    )
+    idx = ingest.compact_segments(spark, root)
+    assert idx.stopwords == frozenset({"data", "spark"})
+    terms = {r["term"] for r in idx.terms.collect()}
+    assert "data" not in terms and "spark" not in terms
+    # explicit override still wins
+    idx2 = ingest.compact_segments(spark, root, stopwords=("data",))
+    terms2 = {r["term"] for r in idx2.terms.collect()}
+    assert "spark" in terms2 and "data" not in terms2

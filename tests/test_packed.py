@@ -53,7 +53,7 @@ def test_codec_property_roundtrip():
         ids = np.sort(rng.choice(10**7, size=n, replace=False)) + base
         tfs = rng.integers(1, 1000, n)
         dls = rng.integers(0, 10**6, n)
-        data, m, bl, bm = codec.pack_postings(
+        data, m, bl, bm, off = codec.pack_postings(
             ids, tfs, dls, base, 1.2, 0.75, 123.4
         )
         i2, t2, l2 = codec.unpack_postings(data, m, base)
@@ -66,6 +66,19 @@ def test_codec_property_roundtrip():
         for bi in range(len(bm)):
             lo, hi = bi * codec.BLOCK, min((bi + 1) * codec.BLOCK, n)
             assert partial[lo:hi].max() <= bm[bi] + 1e-12
+        # random block subsets decode standalone via block_off
+        nb = len(bl)
+        bl_a = np.asarray(bl, np.int64)
+        off_a = np.asarray(off, np.int64)
+        for _ in range(3):
+            sel = np.flatnonzero(rng.random(nb) < 0.5)
+            want = np.zeros(n, dtype=bool)
+            for b_ in sel:
+                want[b_ * codec.BLOCK : (b_ + 1) * codec.BLOCK] = True
+            i3, t3, l3 = codec.unpack_blocks(data, m, base, bl_a, off_a, sel)
+            assert np.array_equal(ids[want], i3)
+            assert np.array_equal(tfs[want], t3.astype(np.int64))
+            assert np.array_equal(dls[want], l3.astype(np.int64))
 
 
 def test_packed_golden_scores(packed_golden):
@@ -189,6 +202,61 @@ def test_doclens_view_matches_tokenizer(packed_synth):
     want = {r["doc_id"]: len(tokenize_text(r["text"])) for r in docs}
     got = {r["doc_id"]: r["dl"] for r in packed_synth.doclens.collect()}
     assert got == want
+
+
+def test_block_wand_identical_and_active(spark, monkeypatch):
+    """Block-granular WAND on a corpus with multi-block blobs (>128
+    postings per term-shard) and multiple shards: results are identical to
+    the unpruned path, and the selective block decode actually fires."""
+    from pyspark.sql import functions as F
+
+    import datetime as dt
+
+    # 1200 docs, 4 shards of 300. 'alpha' lives in 2/3 of docs (200
+    # postings per shard -> blocks of 128+72). One tf-40 spike per shard,
+    # placed inside block 0, makes block 0's upper bound reach theta while
+    # block 1's cannot: later shards must decode block 0 ONLY. Equal spike
+    # scores across shards additionally exercise the strict (ub < theta)
+    # edges at exact equality.
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    for i in range(1200):
+        if i % 300 == 10:
+            txt = "alpha " * 40 + "beta"
+        elif i % 3 != 0:
+            txt = f"alpha beta w{i % 11}"
+        else:
+            txt = f"gamma beta w{i % 11}"
+        rows.append((f"c{i:05d}", 0, "user", txt, None, t0))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    idx = build_index(df, shard_size=300)
+    idx.packed.persist()
+    idx.packed.count()
+    assert idx.packed.select(F.max(F.size("block_max"))).first()[0] >= 2
+
+    calls = {"n": 0}
+    real = codec.unpack_blocks
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(codec, "unpack_blocks", counting)
+    queries = [(0, "alpha"), (1, "alpha beta"), (2, "gamma w3")]
+    for limit in (3, 10):
+        a = search_packed(idx, queries, limit=limit, prune=True).collect()
+        b = search_packed(idx, queries, limit=limit, prune=False).collect()
+
+        def key(r):
+            return (r["query_id"], r["rank"], r["doc_id"],
+                    round(r["score"], 9))
+
+        assert sorted(map(key, a)) == sorted(map(key, b)), limit
+    assert calls["n"] > 0, "block-level decode pruning never activated"
+    idx.packed.unpersist()
 
 
 def test_packed_batch_and_empty(packed_synth):
