@@ -152,27 +152,63 @@ def _qrows(index: BM25Index, queries, stopwords):
 # ---------------------------------------------------------------------------
 
 
-def warm_query_caches(index: BM25Index, max_terms: int = 100_000) -> bool:
-    """Preload the ENTIRE term dictionary + shard metadata into the driver
-    caches (what a search head does at startup). After warming, no query
-    pays a dictionary-probe Spark job — including queries with unknown
-    terms (a complete dictionary proves absence). Skipped (returns False)
-    when the vocabulary exceeds ``max_terms``; per-term lazy probes with
-    parquet term-pushdown remain the scale path."""
+def warm_query_caches(
+    index: BM25Index,
+    max_terms: int = 100_000,
+    preload_blobs: bool = True,
+    max_blob_bytes: int = 4 << 30,
+) -> bool:
+    """Preload the term dictionary + shard metadata — and, when the packed
+    postings fit ``max_blob_bytes``, the blobs themselves — into the driver
+    caches (what a search head does at startup: the index becomes RAM-
+    resident). After warming, a query pays ZERO Spark jobs on the hot
+    path — probe, prune, decode, and score are all in-process numpy; the
+    cluster path remains the route for oversized indexes/filters. Skipped
+    (returns False) when the vocabulary exceeds ``max_terms``; per-term
+    lazy probes with parquet term-pushdown remain the scale path."""
     if index.terms.count() > max_terms:
         return False
     tcache: dict = {}
     for r in index.terms.select("pk", "term", "idf", "df").collect():
         tcache.setdefault(r["term"], {})[r["pk"]] = (float(r["idf"]), int(r["df"]))
+
+    do_blobs = False
+    if preload_blobs:
+        total = index.packed.agg(
+            F.sum(F.length("data")).alias("b")
+        ).first()["b"]
+        do_blobs = total is not None and int(total) <= max_blob_bytes
+    has_off = "block_off" in index.packed.columns
+    cols = ["pk", "term", "shard", "n", "block_last", "block_max"]
+    if has_off:
+        cols.append("block_off")
+    if do_blobs:
+        cols.append("data")
     scache: dict = {}
-    for r in index.packed.select("pk", "term", "shard", "n", "block_max").collect():
+    rcache: dict = {}
+    for r in index.packed.select(*cols).collect():
         scache.setdefault(r["term"], {}).setdefault(r["pk"], []).append(
             (int(r["shard"]), int(r["n"]), float(max(r["block_max"])))
         )
+        if do_blobs:
+            rcache[(r["pk"], r["term"], int(r["shard"]))] = (
+                int(r["n"]),
+                bytes(r["data"]),
+                np.asarray(r["block_last"], dtype=np.int64),
+                np.asarray(r["block_max"], dtype=np.float64),
+                (
+                    np.asarray(r["block_off"], dtype=np.int64)
+                    if has_off and r["block_off"] is not None
+                    else None
+                ),
+            )
     # wholesale replace — appending onto entries from earlier lazy probes
     # would duplicate shard meta (and double scores)
     index.__dict__["_term_meta_cache"] = tcache
     index.__dict__["_shard_meta_cache"] = scache
+    if do_blobs:
+        index.__dict__["_raw_blob_cache"] = rcache
+        index.__dict__["_blobs_complete"] = True
     from bm25_spark.operators.searcher import _stats_map
 
     _stats_map(index, None)
@@ -244,7 +280,9 @@ def _fetch_raw_blobs(index: BM25Index, wanted: set[tuple[str, str, int]]) -> Non
     Decoding happens lazily per shard in ``_decoded`` so block-max pruning
     skips the decode cost of shards it rules out."""
     cache = index.__dict__.setdefault("_raw_blob_cache", {})
-    if len(cache) > 65536:  # bound driver memory; refetch is cheap
+    if not index.__dict__.get("_blobs_complete") and len(cache) > 65536:
+        # bound driver memory for lazily-fetched blobs; refetch is cheap.
+        # A complete preload (warm_query_caches) is size-gated instead.
         cache.clear()
         index.__dict__.get("_decoded_cache", {}).clear()
     missing = [k for k in wanted if k not in cache]
@@ -377,6 +415,10 @@ def _driver_topk(
             kept_ids: list[np.ndarray] = []
             kept_scores: list[np.ndarray] = []
             n_kept = 0
+            # running top-k_eff score buffer: theta updates cost
+            # O(shard_candidates + k) per shard, not a partition over the
+            # whole accumulated candidate set every shard
+            top_buf = np.empty(0, dtype=np.float64)
             for shard in order:
                 if prune and n_kept >= k_eff and shard_ub[shard] < theta:
                     break
@@ -419,10 +461,20 @@ def _driver_topk(
                         if len(need) == len(bl):
                             ids, tfs, dls = _decoded(index, (pk, term, shard))
                         else:
-                            ids, tfs, dls = codec.unpack_blocks(
-                                data, n, shard * index.shard_size, bl, off,
-                                need,
+                            pcache = index.__dict__.setdefault(
+                                "_partial_decode_cache", {}
                             )
+                            ck = (pk, term, shard, need.tobytes())
+                            hit = pcache.get(ck)
+                            if hit is None:
+                                if len(pcache) > 65536:
+                                    pcache.clear()
+                                hit = codec.unpack_blocks(
+                                    data, n, shard * index.shard_size, bl,
+                                    off, need,
+                                )
+                                pcache[ck] = hit
+                            ids, tfs, dls = hit
                         seg_id = np.searchsorted(bounds, ids)
                         keep = alive[seg_id]
                         if allowed_by_pk is not None:
@@ -475,10 +527,11 @@ def _driver_topk(
                 kept_ids.append(nz + shard * index.shard_size)
                 kept_scores.append(dense[nz])
                 n_kept += len(nz)
-                if n_kept >= k_eff:
-                    all_s = np.concatenate(kept_scores)
-                    if len(all_s) >= k_eff:
-                        theta = np.partition(all_s, -k_eff)[-k_eff]
+                top_buf = np.concatenate((top_buf, kept_scores[-1]))
+                if len(top_buf) > k_eff:
+                    top_buf = np.partition(top_buf, -k_eff)[-k_eff:]
+                if len(top_buf) >= k_eff:
+                    theta = top_buf.min()
             if not kept_ids:
                 continue
             ids = np.concatenate(kept_ids)
@@ -509,6 +562,42 @@ def _driver_topk(
                 )
             )
     return results
+
+
+def _local_result_df(spark, rows_out: list[tuple]) -> DataFrame:
+    """Driver-built result rows -> DataFrame as a LocalRelation.
+
+    Small results go through an inline SQL VALUES literal: ~30ms end-to-end
+    vs ~0.2-0.3s for the Arrow createDataFrame round-trip — that difference
+    IS the residual per-query latency once the whole index is RAM-resident.
+    Scores are emitted with repr() + the 'D' double suffix (repr round-trips
+    binary64 exactly). Big results fall back to the Arrow path."""
+    if not rows_out:
+        return empty_result(spark)
+    if len(rows_out) <= 10_000:
+        vals = ", ".join(
+            "(%d, '%s', %d, %rD, %d)"
+            % (q, pk.replace("'", "''"), d, s, r)
+            for q, pk, d, s, r in rows_out
+        )
+        return spark.sql(
+            "SELECT CAST(query_id AS BIGINT) AS query_id, pk, "
+            "CAST(doc_id AS BIGINT) AS doc_id, score, "
+            "CAST(rank AS INT) AS rank FROM (VALUES "
+            + vals
+            + ") AS t(query_id, pk, doc_id, score, rank)"
+        )
+    pdf = pd.DataFrame(
+        rows_out, columns=["query_id", "pk", "doc_id", "score", "rank"]
+    ).astype(
+        {
+            "query_id": "int64",
+            "doc_id": "int64",
+            "score": "float64",
+            "rank": "int32",
+        }
+    )
+    return spark.createDataFrame(pdf, RESULT_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -547,31 +636,52 @@ def _cluster_scored(
 
     has_filter = allowed is not None
     if has_filter:
-        allowed_arr = (
+        # the allowed set ships to scorers as a PACKED BITMAP per
+        # (pk, shard): shard_size/8 bytes regardless of selectivity (128 KB
+        # at the default 1M shard), instead of a collect_list array that
+        # bloats to 8 MB/row for low-selectivity filters
+        def to_bitmap(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            pk_, shard_ = key[0], int(key[1])
+            slots = (
+                pdf["doc_id"].to_numpy(np.int64) - shard_ * shard_size
+            )
+            bits = np.zeros(shard_size, dtype=bool)
+            bits[slots] = True
+            return pd.DataFrame(
+                {
+                    "pk": [pk_],
+                    "shard": [shard_],
+                    "allowed_bm": [np.packbits(bits).tobytes()],
+                }
+            )
+
+        allowed_bm = (
             allowed.withColumn(
                 "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
             )
             .groupBy("pk", "shard")
-            .agg(F.collect_list("doc_id").alias("allowed_ids"))
+            .applyInPandas(
+                to_bitmap, schema="pk string, shard int, allowed_bm binary"
+            )
         )
-        rows = rows.join(allowed_arr, ["pk", "shard"])
+        rows = rows.join(allowed_bm, ["pk", "shard"])
 
     def score_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         qid, pk, shard = int(key[0]), key[1], int(key[2])
         shard_base = shard * shard_size
         avgdl = float(pdf["avgdl"].iloc[0])
-        mask_ids = None
+        mask_bits = None
         if has_filter:
-            mask_ids = np.sort(np.asarray(pdf["allowed_ids"].iloc[0], dtype=np.int64))
+            mask_bits = np.unpackbits(
+                np.frombuffer(pdf["allowed_bm"].iloc[0], dtype=np.uint8)
+            )
         docs_l, contrib_l = [], []
         for data, n, qtf, idf in zip(pdf["data"], pdf["n"], pdf["qtf"], pdf["idf"]):
             ids, tfs, dls = codec.unpack_postings(bytes(data), int(n), shard_base)
-            if mask_ids is not None:
+            if mask_bits is not None:
                 # reference semantics: non-allowed docs skipped during
                 # traversal (bm25.dart:644)
-                keep = mask_ids[
-                    np.searchsorted(mask_ids, ids).clip(max=len(mask_ids) - 1)
-                ] == ids
+                keep = mask_bits[ids - shard_base].astype(bool)
                 if not keep.any():
                     continue
                 ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
@@ -657,21 +767,7 @@ def search_packed(
                 index, qrows, limit, partition_keys, per_partition_limit,
                 prune=prune, allowed_by_pk=allowed_by_pk,
             )
-            if not rows_out:
-                return empty_result(spark)
-            # pandas + Arrow: orders of magnitude faster than the
-            # row-tuple reflection path for driver-built results
-            pdf = pd.DataFrame(
-                rows_out, columns=["query_id", "pk", "doc_id", "score", "rank"]
-            ).astype(
-                {
-                    "query_id": "int64",
-                    "doc_id": "int64",
-                    "score": "float64",
-                    "rank": "int32",
-                }
-            )
-            return spark.createDataFrame(pdf, RESULT_SCHEMA)
+            return _local_result_df(spark, rows_out)
 
     group_limit = max(limit, per_partition_limit or 0)
     scored = _cluster_scored(index, qrows, partition_keys, allowed, group_limit)
