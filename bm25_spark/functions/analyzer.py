@@ -47,6 +47,51 @@ def tokenize_batch(texts: pd.Series, stopwords: frozenset[str] | None) -> pd.Ser
     )
 
 
+# ASCII fast-path byte table: [a-z0-9_] identity, [A-Z] lowered, every
+# other byte -> space. translate+split runs in C and produces exactly the
+# maximal [A-Za-z0-9_]+ runs of the reference analyzer (bm25.dart:698-721);
+# tokens stay BYTES in the build's hot loop and decode once per unique
+# vocabulary entry, not once per occurrence.
+_ASCII_TBL = bytes(
+    (
+        c + 32
+        if 0x41 <= c <= 0x5A  # A-Z -> a-z
+        else (
+            c
+            if (0x61 <= c <= 0x7A) or (0x30 <= c <= 0x39) or c == 0x5F
+            else 0x20
+        )
+    )
+    for c in range(256)
+)
+
+
+def doc_term_counts(
+    text: str | None,
+    stopwords: frozenset[str] | None = None,
+    stopwords_b: frozenset[bytes] | None = None,
+):
+    """(Counter, dl) for one document — the build-side tokenize+count.
+    ASCII texts run the byte-translate fast path (bytes keys); non-ASCII
+    texts fall back to the exact Unicode regex path (str keys). The two key
+    types may coexist across documents: the pack pipeline decodes bytes
+    vocabulary entries to str at emission, so the same term reaches the
+    term-merge shuffle identically from either path."""
+    from collections import Counter
+
+    if not text:
+        return Counter(), 0
+    if text.isascii():
+        raw = text.encode().translate(_ASCII_TBL).split()
+        if stopwords_b:
+            toks = [w for w in raw if len(w) >= 2 and w not in stopwords_b]
+        else:
+            toks = [w for w in raw if len(w) >= 2]
+    else:
+        toks = tokenize_text(text, stopwords)
+    return Counter(toks), len(toks)
+
+
 def make_tokenize_udf(stopwords=None):
     """Returns a pandas UDF Column-function: text -> array<string> terms."""
     stop = frozenset(stopwords) if stopwords else None

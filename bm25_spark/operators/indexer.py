@@ -297,9 +297,12 @@ def _pack_pipeline(
     import pyarrow as pa
 
     from bm25_spark.functions import codec
-    from bm25_spark.functions.analyzer import tokenize_text
+    from bm25_spark.functions.analyzer import doc_term_counts
 
     stop = frozenset(stopwords) if stopwords else None
+    stop_b = (
+        frozenset(w.encode() for w in stop if w.isascii()) if stop else None
+    )
 
     # flush partial runs every ~chunk_postings postings: task memory stays
     # O(chunk) regardless of partition size (a 100 TB build cannot buffer a
@@ -308,9 +311,8 @@ def _pack_pipeline(
 
     def partial_pack(batches):
         from array import array
-        from collections import Counter
 
-        term_code: dict[str, int] = {}
+        term_code: dict = {}  # keyed by bytes (ascii path) or str (unicode)
         vocab: list[str] = []
         pk_code: dict[str, int] = {}
         pk_vals: list[str] = []
@@ -401,8 +403,7 @@ def _pack_pipeline(
             ids = cols["doc_id"].to_numpy().astype(np.int64)
             pks = cols["pk"].to_pylist()
             for text, doc_id, pk in zip(texts, ids, pks):
-                c = Counter(tokenize_text(text, stop))
-                dl = sum(c.values())
+                c, dl = doc_term_counts(text, stop, stop_b)
                 pk_ndocs[pk] = pk_ndocs.get(pk, 0) + 1
                 pk_sumdl[pk] = pk_sumdl.get(pk, 0) + dl
                 if pk not in dl_ids:
@@ -420,7 +421,9 @@ def _pack_pipeline(
                     tc = term_code.get(term)
                     if tc is None:
                         tc = term_code[term] = len(vocab)
-                        vocab.append(term)
+                        vocab.append(
+                            term.decode() if type(term) is bytes else term
+                        )
                     codes_a.append(tc)
                     tfs_a.append(tf)
                 docs_l.append(np.full(len(c), doc_id, dtype=np.int64))

@@ -752,16 +752,38 @@ def search_packed(
         allowed_by_pk = None
         driver_ok = total_df <= DRIVER_PATH_MAX_POSTINGS
         if driver_ok and allowed is not None:
-            if allowed.count() <= DRIVER_PATH_MAX_ALLOWED:
-                apdf = allowed.toPandas()
-                allowed_by_pk = {
-                    pk: np.sort(g["doc_id"].to_numpy(np.int64))
-                    for pk, g in apdf.groupby("pk", sort=False)
-                }
-                if not allowed_by_pk:
-                    return empty_result(spark)
+            # one CollectLimit job probes size AND fetches the ids (the
+            # sentinel +1 row detects overflow); the materialized per-pk
+            # arrays are cached per canonical filter — a repeated filter
+            # (the common tenant/source scoping pattern) costs zero jobs
+            fkey = tuple(
+                sorted(
+                    (
+                        k,
+                        tuple(sorted(map(repr, v)))
+                        if isinstance(v, (list, tuple, set))
+                        else (repr(v),),
+                    )
+                    for k, v in flt.items()
+                )
+            )
+            acache = index.__dict__.setdefault("_allowed_cache", {})
+            if fkey in acache:
+                allowed_by_pk = acache[fkey]
             else:
-                driver_ok = False
+                apdf = allowed.limit(DRIVER_PATH_MAX_ALLOWED + 1).toPandas()
+                if len(apdf) > DRIVER_PATH_MAX_ALLOWED:
+                    driver_ok = False
+                else:
+                    allowed_by_pk = {
+                        pk: np.sort(g["doc_id"].to_numpy(np.int64))
+                        for pk, g in apdf.groupby("pk", sort=False)
+                    }
+                    if len(acache) > 64:
+                        acache.clear()
+                    acache[fkey] = allowed_by_pk
+            if driver_ok and not allowed_by_pk:
+                return empty_result(spark)
         if driver_ok:
             rows_out = _driver_topk(
                 index, qrows, limit, partition_keys, per_partition_limit,
