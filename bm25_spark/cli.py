@@ -83,7 +83,10 @@ def cmd_search(args) -> int:
     from bm25_spark.operators.indexer import read_index
     from bm25_spark.operators.searcher import search
 
-    idx = read_index(spark, args.root, partitioned=bool(args.partition_col))
+    # None lets meta.json decide; an explicit --partition-col forces True
+    idx = read_index(
+        spark, args.root, partitioned=(True if args.partition_col else None)
+    )
     t0 = time.perf_counter()
     rows = search(idx, args.query, limit=args.limit).collect()
     out = {

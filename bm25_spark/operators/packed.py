@@ -629,6 +629,8 @@ def _cluster_scored(
 
     needed = sorted({t for _, t, _ in qrows})
     p = index.packed.filter(F.col("term").isin(needed))
+    if "block_off" not in p.columns:  # legacy layout: full decode fallback
+        p = p.withColumn("block_off", F.lit(None).cast("array<int>"))
     if partition_keys is not None:
         p = p.filter(F.col("pk").isin(partition_keys))
     q_terms = F.broadcast(_query_frame_with_idf(index, qrows, partition_keys))
@@ -666,7 +668,21 @@ def _cluster_scored(
         )
         rows = rows.join(allowed_bm, ["pk", "shard"])
 
+    def _empty_scored() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"query_id": [], "pk": [], "doc_id": [], "score": []}
+        ).astype({"query_id": np.int64, "doc_id": np.int64, "score": np.float64})
+
     def score_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        """Exact per-shard top-group_limit with BLOCK-MAX WAND inside the
+        executor task: segments (the partition of the shard's doc-id space
+        induced by every term's block boundaries) are scored in upper-bound
+        order against a running local theta; once the group's top-k is full,
+        segments — and therefore blocks — that cannot beat theta are never
+        varint-decoded. Same safety argument as the driver path: bounds are
+        true upper bounds in the SAME float association as the scorer,
+        pruning is strict, segments are disjoint so every kept doc's score
+        is complete."""
         qid, pk, shard = int(key[0]), key[1], int(key[2])
         shard_base = shard * shard_size
         avgdl = float(pdf["avgdl"].iloc[0])
@@ -675,31 +691,119 @@ def _cluster_scored(
             mask_bits = np.unpackbits(
                 np.frombuffer(pdf["allowed_bm"].iloc[0], dtype=np.uint8)
             )
-        docs_l, contrib_l = [], []
-        for data, n, qtf, idf in zip(pdf["data"], pdf["n"], pdf["qtf"], pdf["idf"]):
-            ids, tfs, dls = codec.unpack_postings(bytes(data), int(n), shard_base)
-            if mask_bits is not None:
-                # reference semantics: non-allowed docs skipped during
-                # traversal (bm25.dart:644)
-                keep = mask_bits[ids - shard_base].astype(bool)
+        entries = []
+        for data, n, qtf, idf, bl, bm, off in zip(
+            pdf["data"], pdf["n"], pdf["qtf"], pdf["idf"],
+            pdf["block_last"], pdf["block_max"], pdf["block_off"],
+        ):
+            entries.append(
+                (
+                    float(qtf) * float(idf),
+                    bytes(data),
+                    int(n),
+                    np.asarray(bl, dtype=np.int64),
+                    np.asarray(bm, dtype=np.float64),
+                    (
+                        np.asarray(off, dtype=np.int64)
+                        if off is not None
+                        else None
+                    ),
+                )
+            )
+        if not entries:
+            return _empty_scored()
+
+        bounds = np.unique(np.concatenate([e[3] for e in entries]))
+        nseg = len(bounds)
+        seg_ub = np.zeros(nseg)
+        covers = []
+        for w, data, n, bl, bm, off in entries:
+            ci = np.searchsorted(bl, bounds)
+            valid = ci < len(bl)
+            seg_ub[valid] += w * bm[ci[valid]]
+            covers.append((ci, valid))
+        order = np.argsort(-seg_ub, kind="stable")
+
+        theta = -np.inf
+        top_buf = np.empty(0, dtype=np.float64)
+        kept_ids, kept_scores = [], []
+        count = 0
+        dec_cache: list[dict] = [dict() for _ in entries]
+        legacy = any(e[5] is None for e in entries)
+        CHUNK = 64
+        pos = 0
+        while pos < nseg:
+            chunk = order[pos : pos + CHUNK]
+            pos += CHUNK
+            if count >= group_limit:
+                chunk = chunk[seg_ub[chunk] >= theta]
+                if len(chunk) == 0:
+                    break  # order is ub-descending: the rest is dead too
+            sel_mask = np.zeros(nseg, dtype=bool)
+            sel_mask[chunk] = True
+            docs_l, contrib_l = [], []
+            for t_i, (w, data, n, bl, bm, off) in enumerate(entries):
+                ci, valid = covers[t_i]
+                need = np.unique(ci[sel_mask & valid])
+                if len(need) == 0:
+                    continue
+                cache_t = dec_cache[t_i]
+                if legacy:
+                    full = cache_t.get("full")
+                    if full is None:
+                        full = codec.unpack_postings(data, n, shard_base)
+                        cache_t["full"] = full
+                    ids, tfs, dls = full
+                else:
+                    new = [b_ for b_ in need.tolist() if b_ not in cache_t]
+                    if new:
+                        i_n, t_n, d_n = codec.unpack_blocks(
+                            data, n, shard_base, bl, off,
+                            np.asarray(new, np.int64),
+                        )
+                        o = 0
+                        for b_ in new:
+                            s_ = min((b_ + 1) * codec.BLOCK, n) - b_ * codec.BLOCK
+                            cache_t[b_] = (
+                                i_n[o : o + s_],
+                                t_n[o : o + s_],
+                                d_n[o : o + s_],
+                            )
+                            o += s_
+                    nl = need.tolist()
+                    ids = np.concatenate([cache_t[b_][0] for b_ in nl])
+                    tfs = np.concatenate([cache_t[b_][1] for b_ in nl])
+                    dls = np.concatenate([cache_t[b_][2] for b_ in nl])
+                keep = sel_mask[np.searchsorted(bounds, ids)]
+                if mask_bits is not None:
+                    # reference semantics: non-allowed docs skipped during
+                    # traversal (bm25.dart:644); mask-only, bounds stay valid
+                    keep = keep & mask_bits[ids - shard_base].astype(bool)
                 if not keep.any():
                     continue
                 ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
-            tfs = tfs.astype(np.float64)
-            norm = (1.0 - b) + b * dls.astype(np.float64) / avgdl
-            contrib_l.append(
-                float(qtf) * float(idf) * tfs * (k1 + 1.0) / (tfs + k1 * norm)
-            )
-            docs_l.append(ids)
-        if not docs_l:
-            return pd.DataFrame(
-                {"query_id": [], "pk": [], "doc_id": [], "score": []}
-            ).astype({"query_id": np.int64, "doc_id": np.int64, "score": np.float64})
-        docs_cat = np.concatenate(docs_l)
-        contrib = np.concatenate(contrib_l)
-        uniq, inv = np.unique(docs_cat, return_inverse=True)
-        acc = np.zeros(len(uniq))
-        np.add.at(acc, inv, contrib)
+                tfs = tfs.astype(np.float64)
+                norm = (1.0 - b) + b * dls.astype(np.float64) / avgdl
+                contrib_l.append(w * (tfs * (k1 + 1.0) / (tfs + k1 * norm)))
+                docs_l.append(ids)
+            if not docs_l:
+                continue
+            docs_cat = np.concatenate(docs_l)
+            contrib = np.concatenate(contrib_l)
+            dense = np.bincount(docs_cat - shard_base, weights=contrib)
+            nz = np.flatnonzero(dense)
+            kept_ids.append(nz + shard_base)
+            kept_scores.append(dense[nz])
+            count += len(nz)
+            top_buf = np.concatenate((top_buf, dense[nz]))
+            if len(top_buf) > group_limit:
+                top_buf = np.partition(top_buf, -group_limit)[-group_limit:]
+            if len(top_buf) >= group_limit:
+                theta = top_buf.min()
+        if not kept_ids:
+            return _empty_scored()
+        uniq = np.concatenate(kept_ids)  # segments disjoint -> already unique
+        acc = np.concatenate(kept_scores)
         k = min(group_limit, len(uniq))
         if k < len(uniq):
             # exact cut with the global (score desc, doc_id asc) tie-break:

@@ -106,10 +106,18 @@ def checkpointed_build(
     build_kwargs.pop("order_cols", None)
     build_kwargs.pop("docid_method", None)
 
+    from pyspark import StorageLevel
+
     for key in todo:
         t0 = time.perf_counter()
         part = with_ids.filter(F.col(partition_col).cast("string") == key)
         idx = build_index(part, partition_col=partition_col, **build_kwargs)
+        # pin the tokenize output (runs) and the packed postings so the
+        # 4-5 table writes below share ONE tokenize+pack computation
+        # instead of re-running the pipeline per table
+        pins = [df for df in (idx.enc, idx.packed) if df is not None]
+        for df_ in pins:
+            df_.persist(StorageLevel.MEMORY_AND_DISK)
         metrics = {}
         tables = [
             ("docs", idx.docs),
@@ -126,6 +134,8 @@ def checkpointed_build(
         from bm25_spark.operators.indexer import _write_meta, index_meta
 
         _write_meta(index_meta(idx), os.path.join(root, "meta.json"))
+        for df_ in pins:
+            df_.unpersist()
         manifest = {
             "pk": key,
             "status": "done",

@@ -249,12 +249,16 @@ def test_block_wand_identical_and_active(spark, monkeypatch):
     for limit in (3, 10):
         a = search_packed(idx, queries, limit=limit, prune=True).collect()
         b = search_packed(idx, queries, limit=limit, prune=False).collect()
+        c = search_packed(
+            idx, queries, limit=limit, force_cluster=True
+        ).collect()
 
         def key(r):
             return (r["query_id"], r["rank"], r["doc_id"],
                     round(r["score"], 9))
 
         assert sorted(map(key, a)) == sorted(map(key, b)), limit
+        assert sorted(map(key, a)) == sorted(map(key, c)), limit
     assert calls["n"] > 0, "block-level decode pruning never activated"
     idx.packed.unpersist()
 
