@@ -373,6 +373,58 @@ def _rocchio_sql() -> str:
 """
 
 
+# O2b: Unicode tokenizer path (text with any non-ASCII char dispatches to
+# \p{L}[\p{L}\p{N}_]* on the lowered text — bm25.dart:723-735). Every
+# fixture text is non-ASCII so both systems use the Unicode rule; covers
+# accent folding-free lowercasing, Cyrillic, Greek, and the
+# CJK-run-stays-one-token semantic.
+UNICODE_TEXTS = [
+    "Café naïve ÉLÈVE déjà",
+    "Привет мир тест",
+    "Ελληνικά κείμενο αναζήτηση",
+    "日本語のテキスト test run",
+    "mixed Ünïcode_tok and words",
+]
+
+
+def q_tokenize_unicode(spark, sf_dir):
+    from bm25_spark.functions.analyzer import make_tokenize_udf
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(UNICODE_TEXTS)],
+        "doc_id long, text string",
+    )
+    tok = make_tokenize_udf(None)
+    return df.select("doc_id", F.explode(tok(F.col("text"))).alias("term"))
+
+
+def _tokenize_unicode_sql() -> str:
+    rows = ", ".join(
+        f"({i}, '{t}')" for i, t in enumerate(UNICODE_TEXTS)
+    )
+    return f"""
+SELECT doc_id, term FROM (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text),
+                '\\p{{L}}[\\p{{L}}\\p{{N}}_]*')) AS term
+  FROM (VALUES {rows}) AS d(doc_id, text)
+) WHERE length(term) >= 2
+"""
+
+
+def q_fetch_results(spark, sf_dir):
+    """O14: result materialization — scores joined back to document text
+    (search_result.dart:26-52 wraps (doc, score); ours is a join)."""
+    idx = _index(spark, sf_dir)
+    n = _read_docs(spark, sf_dir).count()
+    from bm25_spark.operators.searcher import search_batch
+
+    res = search_batch(idx, [(0, FLAGSHIP_QUERY)], limit=n)
+    top = _rounded_topk(res, TOPK)
+    docs = _read_docs(spark, sf_dir).select("doc_id", "text")
+    return top.join(docs, "doc_id").select("doc_id", "rank", "text")
+
+
 def q_docids(spark, sf_dir):
     """O1: deterministic dense doc_id assignment (docids.assign_doc_ids,
     the scalable range-partitioned two-pass path) vs a plain row_number
@@ -482,6 +534,36 @@ def q_simhash(spark, sf_dir):
     from bm25_spark.operators.dedup import simhash
 
     return simhash(_read_docs(spark, sf_dir), bits=SIMHASH_BITS)
+
+
+MINHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 2
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash banding LSH candidates verified with exact shingle Jaccard
+    (the end-to-end near-dup pipeline, not just the signatures)."""
+    from bm25_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _read_docs(spark, sf_dir),
+        num_perm=MINHASH_PERMS,
+        bands=MINHASH_BANDS,
+        n=3,
+        threshold=JACCARD_T,
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via pigeonhole band blocking + hamming
+    verify."""
+    from bm25_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _read_docs(spark, sf_dir),
+        bits=SIMHASH_BITS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+    )
 
 
 def q_emb_neardup(spark, sf_dir):
@@ -599,6 +681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_empty_query": q_empty_query,
         "bm25_docids": q_docids,
         "bm25_topk_stopwords": q_topk_stopwords,
+        "bm25_tokenize_unicode": q_tokenize_unicode,
+        "bm25_fetch_results": q_fetch_results,
         "ts_token_stats": q_token_stats,
         "ts_quality": q_quality,
         "ts_lang_id": q_lang_id,
@@ -607,6 +691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_jaccard": q_jaccard_pairs,
         "dd_minhash_sig": q_minhash_sig,
         "dd_simhash": q_simhash,
+        "dd_simhash_pairs": q_simhash_pairs,
+        "dd_lsh_pairs": q_minhash_lsh_pairs,
         "dd_emb_neardup": q_emb_neardup,
         "sim_ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -729,6 +815,19 @@ FROM pp QUALIFY rank <= {TOPK}
         "bm25_topk_stopwords": _base_from(_stop_tok_sql())
         + _scored_sql(FLAGSHIP_QUERY, stopwords=CONTRACT_STOPWORDS)
         + topk_tail,
+        "bm25_tokenize_unicode": _tokenize_unicode_sql(),
+        "bm25_fetch_results": _BASE
+        + _scored_sql(FLAGSHIP_QUERY)
+        + f"""
+, top AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id ASC)
+              AS BIGINT) AS rank
+  FROM scored
+  QUALIFY rank <= {TOPK}
+)
+SELECT t.doc_id, t.rank, d.text FROM top t JOIN documents d USING (doc_id)
+""",
         **_training_ops_oracles(),
     }
 
@@ -753,6 +852,97 @@ _SHINGLES_CTE = (
 )
 """
 )
+
+
+def _simhash_cte() -> str:
+    """CTE chain ending in s(doc_id, simhash) — shared by the simhash and
+    simhash-pairs oracles."""
+    return (
+        _TOKS_CTE
+        + f"""
+, tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  GROUP BY doc_id, tok
+),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (('0x' || substr(md5(tok), 1, 15))::BIGINT >> bit) & 1 = 1
+                  THEN tf ELSE -tf END) AS v
+  FROM tf, unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b(bit)
+  GROUP BY doc_id, bit
+),
+s AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    nb = SIMHASH_MAX_HAMMING + 1
+    width = SIMHASH_BITS // nb
+    return (
+        _simhash_cte()
+        + f"""
+, keyed AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (band * {width})) & {(1 << width) - 1} AS key
+  FROM s, unnest(generate_series(0, {nb - 1})) AS b(band)
+)
+, cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM keyed a JOIN keyed b USING (band, key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {SIMHASH_MAX_HAMMING}
+"""
+    )
+
+
+def _minhash_lsh_pairs_sql() -> str:
+    r = MINHASH_PERMS // MINHASH_BANDS
+    return (
+        _SHINGLES_CTE
+        + f"""
+, sig AS (
+  SELECT doc_id, CAST(perm AS BIGINT) AS perm,
+         min(md5(perm::VARCHAR || '|' || shingle)) AS mh
+  FROM sh, unnest(generate_series(0, {MINHASH_PERMS - 1})) AS p(perm)
+  GROUP BY doc_id, perm
+)
+, banded AS (
+  SELECT doc_id, perm // {r} AS band,
+         md5(string_agg(mh, ',' ORDER BY perm)) AS bucket
+  FROM sig GROUP BY doc_id, perm // {r}
+)
+, cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+)
+, sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) sz FROM sh GROUP BY doc_id)
+, inter AS (
+  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+)
+SELECT a, b, jaccard FROM (
+  SELECT i.a, i.b,
+         round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 4) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.a
+  JOIN sizes sb ON sb.doc_id = i.b
+) WHERE jaccard >= {JACCARD_T}
+"""
+    )
 
 
 def _training_ops_oracles() -> dict[str, str]:
@@ -844,24 +1034,9 @@ SELECT doc_id, CAST(perm AS BIGINT) AS perm,
        min(md5(perm::VARCHAR || '|' || shingle)) AS mh
 FROM sh, unnest(generate_series(0, {MINHASH_PERMS - 1})) AS p(perm)
 GROUP BY doc_id, perm""",
-        "dd_simhash": _TOKS_CTE
-        + f"""
-, tf AS (
-  SELECT doc_id, tok, count(*) AS tf
-  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
-  GROUP BY doc_id, tok
-),
-votes AS (
-  SELECT doc_id, bit,
-         sum(CASE WHEN (('0x' || substr(md5(tok), 1, 15))::BIGINT >> bit) & 1 = 1
-                  THEN tf ELSE -tf END) AS v
-  FROM tf, unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b(bit)
-  GROUP BY doc_id, bit
-)
-SELECT doc_id,
-       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
-         AS simhash
-FROM votes GROUP BY doc_id""",
+        "dd_simhash": _simhash_cte() + "SELECT doc_id, simhash FROM s",
+        "dd_simhash_pairs": _simhash_pairs_sql(),
+        "dd_lsh_pairs": _minhash_lsh_pairs_sql(),
         "dd_emb_neardup": f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
            FROM embeddings)
