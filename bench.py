@@ -83,6 +83,7 @@ def main() -> None:
         id_col="doc_id",
         index_fields=("lang", "source"),
         shard_size=shard_size,
+        check_empty=False,  # corpus was counted above
     ).materialize()
     build_sec = time.perf_counter() - t0
     timings["index_build"] = round(build_sec, 3)

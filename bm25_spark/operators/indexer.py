@@ -128,6 +128,7 @@ def build_index(
     docid_method: str = "range",
     id_col: str | None = None,
     chunk_postings: int = 1 << 21,
+    check_empty: bool = True,
 ) -> BM25Index:
     """Build the inverted index over a transcripts-shaped DataFrame.
 
@@ -138,7 +139,13 @@ def build_index(
     ``id_col``: use an existing unique integer column as doc_id instead of
     deriving dense ids from ``order_cols`` (e.g. a corpus that already
     carries stable ids).
+
+    ``check_empty``: reference parity — BM25.build rejects an empty corpus
+    (bm25.dart:163-169); one limit-1 probe, skippable for hot paths that
+    already know the input is non-empty.
     """
+    if check_empty and transcripts.isEmpty():
+        raise ValueError("empty corpus (reference: BM25.build throws)")
     stop = frozenset(stopwords) if stopwords else None
 
     if id_col is not None:

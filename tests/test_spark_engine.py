@@ -121,6 +121,17 @@ def test_limit_and_empty(golden_index):
         searcher.search(golden_index, "dog", limit=0)
 
 
+def test_empty_corpus_raises(spark):
+    """Reference parity: BM25.build throws on an empty corpus
+    (bm25.dart:163-169)."""
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    with pytest.raises(ValueError, match="empty corpus"):
+        build_index(empty)
+
+
 def test_stopwords_engine(spark):
     stops = {"the", "and", "a", "an", "or", "but"}
     idx = build_index(golden_transcripts(spark), stopwords=stops)
