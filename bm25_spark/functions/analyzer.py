@@ -66,29 +66,36 @@ _ASCII_TBL = bytes(
 )
 
 
+def doc_tokens(
+    text: str | None,
+    stopwords: frozenset[str] | None = None,
+    stopwords_b: frozenset[bytes] | None = None,
+) -> list:
+    """Build-side token list for one document. ASCII texts run the
+    byte-translate fast path (BYTES tokens); non-ASCII texts fall back to
+    the exact Unicode regex path (str tokens). The two token types may
+    coexist across documents: the pack pipeline decodes bytes vocabulary
+    entries to str at emission, so the same term reaches the term-merge
+    shuffle identically from either path."""
+    if not text:
+        return []
+    if text.isascii():
+        raw = text.encode().translate(_ASCII_TBL).split()
+        if stopwords_b:
+            return [w for w in raw if len(w) >= 2 and w not in stopwords_b]
+        return [w for w in raw if len(w) >= 2]
+    return tokenize_text(text, stopwords)
+
+
 def doc_term_counts(
     text: str | None,
     stopwords: frozenset[str] | None = None,
     stopwords_b: frozenset[bytes] | None = None,
 ):
-    """(Counter, dl) for one document — the build-side tokenize+count.
-    ASCII texts run the byte-translate fast path (bytes keys); non-ASCII
-    texts fall back to the exact Unicode regex path (str keys). The two key
-    types may coexist across documents: the pack pipeline decodes bytes
-    vocabulary entries to str at emission, so the same term reaches the
-    term-merge shuffle identically from either path."""
+    """(Counter, dl) for one document — see doc_tokens for key semantics."""
     from collections import Counter
 
-    if not text:
-        return Counter(), 0
-    if text.isascii():
-        raw = text.encode().translate(_ASCII_TBL).split()
-        if stopwords_b:
-            toks = [w for w in raw if len(w) >= 2 and w not in stopwords_b]
-        else:
-            toks = [w for w in raw if len(w) >= 2]
-    else:
-        toks = tokenize_text(text, stopwords)
+    toks = doc_tokens(text, stopwords, stopwords_b)
     return Counter(toks), len(toks)
 
 

@@ -304,7 +304,7 @@ def _pack_pipeline(
     import pyarrow as pa
 
     from bm25_spark.functions import codec
-    from bm25_spark.functions.analyzer import doc_term_counts
+    from bm25_spark.functions.analyzer import doc_tokens
 
     stop = frozenset(stopwords) if stopwords else None
     stop_b = (
@@ -319,6 +319,8 @@ def _pack_pipeline(
     def partial_pack(batches):
         from array import array
 
+        import pandas as _pd
+
         term_code: dict = {}  # keyed by bytes (ascii path) or str (unicode)
         vocab: list[str] = []
         pk_code: dict[str, int] = {}
@@ -328,10 +330,9 @@ def _pack_pipeline(
         pk_ndocs: dict[str, int] = {}
         pk_sumdl: dict[str, int] = {}
 
-        def fresh():
-            return array("q"), array("q"), [], [], []
-
-        codes_a, tfs_a, docs_l, dls_l, pks_l = fresh()
+        # accumulated (code, tf, doc, dl, pkc) arrays awaiting a flush
+        acc: list[tuple] = []
+        acc_n = 0
         # per-pk (doc_id, dl) pairs for EVERY doc seen (incl. dl=0), packed
         # into varint sentinel rows — the docs table's dl and the doclens
         # view derive from this same single tokenize pass (the reference
@@ -372,11 +373,11 @@ def _pack_pipeline(
             )
 
         def flush():
-            codes = np.frombuffer(codes_a, dtype=np.int64)
-            tf_flat = np.frombuffer(tfs_a, dtype=np.int64)
-            doc_flat = np.concatenate(docs_l)
-            dl_flat = np.concatenate(dls_l)
-            pk_codes = np.concatenate(pks_l)
+            codes = np.concatenate([a[0] for a in acc])
+            tf_flat = np.concatenate([a[1] for a in acc])
+            doc_flat = np.concatenate([a[2] for a in acc])
+            dl_flat = np.concatenate([a[3] for a in acc])
+            pk_codes = np.concatenate([a[4] for a in acc])
             shard = (doc_flat // shard_size).astype(np.int64)
             order = np.lexsort((doc_flat, shard, codes, pk_codes))
             doc_s, tf_s, dl_s = doc_flat[order], tf_flat[order], dl_flat[order]
@@ -404,44 +405,85 @@ def _pack_pipeline(
                 names=["pk", "term", "shard", "n", "data", "sum_dl"],
             )
 
+        def process_slice(texts_s, ids_s, pks_s):
+            """Tokenize + count one row-slice, fully vectorized past the
+            tokenizer: per-token work is pandas.factorize (C hashing) and a
+            combined-key np.unique for (doc, term) -> tf; per-UNIQUE-term
+            work is the only Python dict traffic."""
+            nonlocal acc_n
+            toks_l = [doc_tokens(t, stop, stop_b) for t in texts_s]
+            lens = np.fromiter(
+                (len(x) for x in toks_l), np.int64, count=len(toks_l)
+            )
+            pkcs_doc = np.empty(len(pks_s), dtype=np.int64)
+            for i, pk in enumerate(pks_s):
+                pk_ndocs[pk] = pk_ndocs.get(pk, 0) + 1
+                pk_sumdl[pk] = pk_sumdl.get(pk, 0) + int(lens[i])
+                if pk not in dl_ids:
+                    dl_ids[pk] = array("q")
+                    dl_vals[pk] = array("q")
+                dl_ids[pk].append(int(ids_s[i]))
+                dl_vals[pk].append(int(lens[i]))
+                pc_ = pk_code.get(pk)
+                if pc_ is None:
+                    pc_ = pk_code[pk] = len(pk_vals)
+                    pk_vals.append(pk)
+                pkcs_doc[i] = pc_
+            total = int(lens.sum())
+            if total == 0:
+                return
+            flat = np.empty(total, dtype=object)
+            pos = 0
+            for tl in toks_l:
+                flat[pos : pos + len(tl)] = tl
+                pos += len(tl)
+            codes_local, uniq = _pd.factorize(flat, sort=False)
+            lut = np.empty(len(uniq), dtype=np.int64)
+            for j, term in enumerate(uniq):
+                tc = term_code.get(term)
+                if tc is None:
+                    tc = term_code[term] = len(vocab)
+                    vocab.append(
+                        term.decode() if type(term) is bytes else term
+                    )
+                lut[j] = tc
+            g = lut[codes_local]
+            doc_idx = np.repeat(
+                np.arange(len(toks_l), dtype=np.int64), lens
+            )
+            v_sz = np.int64(len(vocab))
+            uk, tf = np.unique(doc_idx * v_sz + g, return_counts=True)
+            d_loc = uk // v_sz
+            acc.append(
+                (
+                    uk % v_sz,
+                    tf.astype(np.int64),
+                    ids_s[d_loc],
+                    lens[d_loc],
+                    pkcs_doc[d_loc],
+                )
+            )
+            acc_n += len(uk)
+
         for rb in batches:
             cols = dict(zip(rb.schema.names, rb.columns))
             texts = cols[text_col].to_pylist()
             ids = cols["doc_id"].to_numpy().astype(np.int64)
             pks = cols["pk"].to_pylist()
-            for text, doc_id, pk in zip(texts, ids, pks):
-                c, dl = doc_term_counts(text, stop, stop_b)
-                pk_ndocs[pk] = pk_ndocs.get(pk, 0) + 1
-                pk_sumdl[pk] = pk_sumdl.get(pk, 0) + dl
-                if pk not in dl_ids:
-                    dl_ids[pk] = array("q")
-                    dl_vals[pk] = array("q")
-                dl_ids[pk].append(doc_id)
-                dl_vals[pk].append(dl)
-                if not c:
-                    continue
-                pc_ = pk_code.get(pk)
-                if pc_ is None:
-                    pc_ = pk_code[pk] = len(pk_vals)
-                    pk_vals.append(pk)
-                for term, tf in c.items():
-                    tc = term_code.get(term)
-                    if tc is None:
-                        tc = term_code[term] = len(vocab)
-                        vocab.append(
-                            term.decode() if type(term) is bytes else term
-                        )
-                    codes_a.append(tc)
-                    tfs_a.append(tf)
-                docs_l.append(np.full(len(c), doc_id, dtype=np.int64))
-                dls_l.append(np.full(len(c), dl, dtype=np.int64))
-                pks_l.append(np.full(len(c), pc_, dtype=np.int64))
-            if len(codes_a) >= chunk_postings:
-                yield flush()
-                codes_a, tfs_a, docs_l, dls_l, pks_l = fresh()
-                dlb = flush_dl()
-                if dlb is not None:
-                    yield dlb
+            n_rows = len(texts)
+            # slice rows so accumulated postings stay ~chunk-bounded even
+            # within one Arrow batch (task memory stays O(chunk))
+            step = max(1, min(n_rows, chunk_postings // 32))
+            for s in range(0, n_rows, step):
+                e = min(s + step, n_rows)
+                process_slice(texts[s:e], ids[s:e], pks[s:e])
+                if acc_n >= chunk_postings:
+                    yield flush()
+                    acc.clear()
+                    acc_n = 0
+                    dlb = flush_dl()
+                    if dlb is not None:
+                        yield dlb
         dlb = flush_dl()
         if dlb is not None:
             yield dlb
@@ -458,7 +500,7 @@ def _pack_pipeline(
                 ],
                 names=["pk", "term", "shard", "n", "data", "sum_dl"],
             )
-        if len(codes_a):
+        if acc:
             yield flush()
 
     runs = src.select("pk", "doc_id", F.col(text_col)).mapInArrow(
