@@ -11,20 +11,26 @@ Two strategies:
   rows through ONE task for the ranking (fine up to ~10M rows; never at
   10^12 scale).
 - ``range`` (default): scalable two-phase assignment. Range-repartition on
-  the order columns, sort within partitions, persist, count rows per
-  partition (tiny collect of ~P longs), then add per-partition offsets with
-  a narrow Arrow map. Range partitioning guarantees partition i's keys all
-  precede partition j's for i < j, so offset + local position == global rank
-  regardless of where the sampled boundaries fell. The persist pins the
-  sampled boundaries so the count pass and the assign pass see identical
-  partitioning.
+  the order columns, sort within partitions, LOCAL-CHECKPOINT, count rows
+  per partition (tiny collect of ~P longs), then add per-partition offsets
+  with a narrow Arrow map. Range partitioning guarantees partition i's keys
+  all precede partition j's for i < j, so offset + local position == global
+  rank regardless of where the sampled boundaries fell.
+
+  The localCheckpoint (not a mere persist) is correctness-critical:
+  repartitionByRange picks boundaries by SAMPLING, so a recomputation can
+  partition differently and silently invalidate the collected offsets. A
+  persisted plan protects normal reuse, but plan CLONES (e.g. Spark's
+  relation deduplication when two filters of this output are unioned)
+  bypass the cache by design. Checkpointing truncates lineage to the
+  materialized partitions, so every consumer — including clones — reads
+  the exact partitioning the offsets were computed from.
 
 Both produce the identical doc_id column (asserted in tests).
 """
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
@@ -44,19 +50,19 @@ def assign_doc_ids(
         raise ValueError(f"unknown method {method!r}")
 
     num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # the partition index is STAMPED INTO THE DATA at checkpoint
+    # materialization and read back from the rows — never from
+    # TaskContext.partitionId(), which is renumbered by any enclosing
+    # union/coalesce and would silently shift every offset
     parted = (
         df.repartitionByRange(num_partitions, *order_cols)
         .sortWithinPartitions(*order_cols)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     # pass 1: rows per physical partition (P rows collected — tiny)
-    counts = (
-        parted.select(F.spark_partition_id().alias("pid"))
-        .groupBy("pid")
-        .count()
-        .collect()
-    )
-    by_pid = {r["pid"]: r["count"] for r in counts}
+    counts = parted.groupBy("_pid").count().collect()
+    by_pid = {r["_pid"]: r["count"] for r in counts}
     offsets: dict[int, int] = {}
     acc = 0
     for pid in range(max(by_pid, default=-1) + 1):
@@ -64,17 +70,18 @@ def assign_doc_ids(
         acc += by_pid.get(pid, 0)
 
     out_schema = StructType(
-        parted.schema.fields + [StructField("doc_id", LongType(), False)]
+        df.schema.fields + [StructField("doc_id", LongType(), False)]
     )
 
     def add_ids(iterator):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        pos = offsets.get(pid, 0)
+        pos = None
         for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            if pos is None:
+                pos = offsets.get(int(pdf["_pid"].iloc[0]), 0)
             n = len(pdf)
-            pdf = pdf.copy()
+            pdf = pdf.drop(columns=["_pid"])
             pdf["doc_id"] = range(pos, pos + n)
             pos += n
             yield pdf

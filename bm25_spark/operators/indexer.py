@@ -193,6 +193,7 @@ def _finish_index(
     text_col: str,
     shard_size: int,
     pin: DataFrame | None = None,
+    doclens_override: DataFrame | None = None,
 ) -> BM25Index:
     spark = docs_out.sparkSession
     # df(t) = Σ_shard n — read off the packed index (30 rows per term·shard,
@@ -211,7 +212,11 @@ def _finish_index(
         )
         .drop("n_docs")
     )
-    doclens = doclens_view(pin) if pin is not None else None
+    doclens = (
+        doclens_override
+        if doclens_override is not None
+        else (doclens_view(pin) if pin is not None else None)
+    )
     postings = decoded_postings_view(packed, shard_size)
     # (pk, term, doc_id, dl, tf) debug/contract view, decoded on demand
     flat = postings.select(
@@ -516,10 +521,28 @@ def _pack_pipeline(
         )
     )
 
-    # reduce side streams GROUP BY GROUP over rows pre-sorted by the group
-    # key, so task memory is O(one term-shard group + output buffer) — never
-    # the whole shuffle partition (a skewed merge partition at 100x scale
-    # must not OOM the task). Output batches flush at a byte budget.
+    packed = _merge_runs_exchange(
+        runs.filter(F.length("term") >= 2),  # real tokens only, no sentinels
+        stats,
+        shard_size,
+        k1,
+        b,
+    )
+    return runs, stats, packed
+
+
+def _make_merge_runs(shard_size: int, k1: float, b: float):
+    """Reduce-side merge generator (shared by the build pipeline and
+    segment-index merging): streams GROUP BY GROUP over rows pre-sorted by
+    (pk, term, shard), so task memory is O(one term-shard group + output
+    buffer) — never the whole shuffle partition (a skewed merge partition
+    at 100x scale must not OOM the task). Output batches flush at a byte
+    budget. Input rows carry (pk, term, shard, n, data, avgdl); run blobs
+    use the triple-varint layout (pack_run == pack_postings payload)."""
+    import pyarrow as pa
+
+    from bm25_spark.functions import codec
+
     _FLUSH_BYTES = 64 << 20
 
     def merge_runs(batches):
@@ -610,18 +633,94 @@ def _pack_pipeline(
         if out["pk"]:
             yield out_batch()
 
-    # explicit partition count: AQE would coalesce this exchange to ~1 task
-    # (compressed runs LOOK tiny) and serialize the decode+merge work
-    spark = src.sparkSession
+    return merge_runs
+
+
+def _merge_runs_exchange(
+    run_rows: DataFrame,
+    stats: DataFrame,
+    shard_size: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """(pk, term, shard, n, data) run rows -> final packed table: broadcast
+    the per-pk avgdl, shuffle by group key, stream-merge. The explicit
+    partition count defeats AQE coalescing this exchange to ~1 task
+    (compressed runs LOOK tiny) and serializing the decode+merge work."""
+    spark = run_rows.sparkSession
     n_merge = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    packed = (
-        runs.filter(F.length("term") >= 2)  # real tokens only, no sentinels
+    return (
+        run_rows.select("pk", "term", "shard", "n", "data")
         .join(F.broadcast(stats.select("pk", "avgdl")), "pk")
         .repartition(n_merge, "pk", "term", "shard")
         .sortWithinPartitions("pk", "term", "shard")
-        .mapInArrow(merge_runs, schema=PACKED_SCHEMA)
+        .mapInArrow(
+            _make_merge_runs(shard_size, k1, b), schema=PACKED_SCHEMA
+        )
     )
-    return runs, stats, packed
+
+
+def merge_indexes(indexes: list[BM25Index]) -> BM25Index:
+    """Lucene-style segment merge WITHOUT re-tokenizing.
+
+    Per-segment packed postings are unioned as merge runs (the packed blob
+    payload IS the run layout — triple varints), shuffled by
+    (pk, term, shard), and re-packed with the MERGED corpus's global avgdl
+    — block metadata depends on norms, so blobs must re-pack, but the text
+    is never touched: compaction costs decode+merge+encode instead of a
+    full tokenize pass (the dominant build cost). Global stats come
+    exactly from the unioned doclens (integer dl sums, not a float
+    avgdl*n reconstruction), so the result is byte-identical to a
+    from-scratch build over the union.
+
+    Requirements: identical k1/b/shard_size/text_col/partitioned across
+    segments, disjoint globally-consistent doc_id spaces (the streaming
+    ingest offset manifest guarantees this), and doclens present."""
+    first = indexes[0]
+    for ix in indexes[1:]:
+        if (
+            ix.shard_size != first.shard_size
+            or ix.k1 != first.k1
+            or ix.b != first.b
+            or ix.partitioned != first.partitioned
+            or ix.text_col != first.text_col
+        ):
+            raise ValueError("merge_indexes: incompatible index parameters")
+        if ix.packed is None or ix.doclens is None:
+            raise ValueError("merge_indexes: packed + doclens required")
+    if first.packed is None or first.doclens is None:
+        raise ValueError("merge_indexes: packed + doclens required")
+
+    docs_u = indexes[0].docs
+    doclens_u = indexes[0].doclens
+    runs_u = indexes[0].packed.select("pk", "term", "shard", "n", "data")
+    for ix in indexes[1:]:
+        docs_u = docs_u.unionByName(ix.docs)
+        doclens_u = doclens_u.unionByName(ix.doclens)
+        runs_u = runs_u.unionByName(
+            ix.packed.select("pk", "term", "shard", "n", "data")
+        )
+    stats = doclens_u.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    packed = _merge_runs_exchange(
+        runs_u, stats, first.shard_size, first.k1, first.b
+    )
+    return _finish_index(
+        docs_u,
+        stats,
+        packed,
+        k1=first.k1,
+        b=first.b,
+        index_fields=first.index_fields,
+        stopwords=first.stopwords,
+        partitioned=first.partitioned,
+        text_col=first.text_col,
+        shard_size=first.shard_size,
+        pin=None,
+        doclens_override=doclens_u,
+    )
 
 
 def doclens_view(runs: DataFrame) -> DataFrame:

@@ -54,6 +54,10 @@ def _store_json(obj: dict, path: str) -> None:
     os.replace(tmp, path)
 
 
+def _segment_index_path(root: str, batch_id: int) -> str:
+    return os.path.join(root, "segment_indexes", f"segment={batch_id}")
+
+
 def stream_ingest(
     spark: SparkSession,
     input_path: str,
@@ -64,6 +68,9 @@ def stream_ingest(
     available_now: bool = True,
     order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     text_col: str = "text",
+    build_segment_index: bool = False,
+    index_fields: tuple[str, ...] = ("role", "tool", "conv_id"),
+    shard_size: int = 1 << 20,
 ):
     """Start (and with available_now=True, run to completion) the ingest
     stream. Each segment holds raw doc rows with stable global doc_ids for
@@ -105,6 +112,23 @@ def stream_ingest(
         n = spark.read.parquet(_segment_path(root, batch_id)).count()
         man[key] = {"offset": offset, "n": n}
         _store_json(man, _offsets_path(root))
+        if build_segment_index:
+            # tokenize ONCE at ingest; later compaction merges the packed
+            # segment indexes without re-reading the text
+            # (indexer.merge_indexes)
+            from bm25_spark.operators.indexer import build_index, write_index
+
+            seg_df = spark.read.parquet(_segment_path(root, batch_id))
+            idx = build_index(
+                seg_df,
+                text_col=text_col,
+                id_col="doc_id",
+                index_fields=tuple(index_fields),
+                stopwords=stopwords,
+                shard_size=shard_size,
+                check_empty=False,
+            )
+            write_index(idx, _segment_index_path(root, batch_id))
 
     stream = spark.readStream.schema(schema).parquet(input_path)
     writer = (
@@ -128,14 +152,33 @@ def compact_segments(
     partition_col: str | None = None,
     stopwords=None,
     text_col: str | None = None,
+    incremental: bool = False,
 ):
     """Merge all segments into a BM25Index with global statistics.
-    Segments carry stable doc_ids, so compaction is exactly a batch build
-    over their union (fused tokenize+pack, same plan). ``stopwords`` and
-    ``text_col`` default from the ingest_meta.json the ingest stream wrote,
-    so the tokenizer settings given at ingest time are honored here without
-    re-passing; explicit arguments override."""
+
+    Default path: batch build over the union of raw segments (fused
+    tokenize+pack). ``incremental=True``: merge the per-segment PACKED
+    indexes written by stream_ingest(build_segment_index=True) via
+    indexer.merge_indexes — compaction then never re-tokenizes; it
+    decodes, merges, and re-packs posting blobs only (byte-identical
+    result to the rebuild, asserted in tests). ``stopwords``/``text_col``
+    default from ingest_meta.json; explicit arguments override."""
     from bm25_spark.operators.indexer import build_index
+
+    if incremental:
+        import glob
+
+        from bm25_spark.operators.indexer import merge_indexes, read_index
+
+        roots = sorted(
+            glob.glob(os.path.join(root, "segment_indexes", "segment=*"))
+        )
+        if not roots:
+            raise ValueError(
+                "no segment indexes — run stream_ingest with "
+                "build_segment_index=True"
+            )
+        return merge_indexes([read_index(spark, r) for r in roots])
 
     meta = _load_json(_meta_path(root))
     if stopwords is None:

@@ -88,6 +88,74 @@ def test_stream_ingest_and_compact(spark, tmp_path):
         acc += cnt
 
 
+def _packed_snap(idx):
+    return sorted(
+        (
+            r["pk"], r["term"], r["shard"], r["n"], bytes(r["data"]),
+            tuple(r["block_last"]), tuple(r["block_max"]),
+            tuple(r["block_off"]),
+        )
+        for r in idx.packed.collect()
+    )
+
+
+def test_merge_indexes_byte_identical_to_full_build(spark):
+    """Lucene-style segment merge (no re-tokenize) produces the exact same
+    packed table and stats as a from-scratch build over the union."""
+    from pyspark.sql import functions as F
+
+    from bm25_spark.operators.indexer import merge_indexes
+
+    df = synthetic_transcripts(spark, n_convs=24, seed=13)
+    from bm25_spark.operators.docids import assign_doc_ids
+
+    with_ids = assign_doc_ids(df)
+    full = build_index(with_ids, id_col="doc_id", shard_size=64)
+    parts = [
+        with_ids.filter((F.col("doc_id") >= 0) & (F.col("doc_id") < 100)),
+        with_ids.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)),
+        with_ids.filter(F.col("doc_id") >= 200),
+    ]
+    segs = [
+        build_index(p, id_col="doc_id", shard_size=64, check_empty=False)
+        for p in parts
+    ]
+    merged = merge_indexes(segs)
+    assert _packed_snap(merged) == _packed_snap(full)
+    a = sorted(tuple(r) for r in merged.stats.collect())
+    b = sorted(tuple(r) for r in full.stats.collect())
+    assert a == b
+    assert merged.doclens.count() == full.doclens.count()
+
+
+def test_incremental_compaction_matches_rebuild(spark, tmp_path):
+    """stream_ingest(build_segment_index=True) + compact(incremental=True)
+    never re-tokenizes, yet equals the tokenize-everything compaction."""
+    df = synthetic_transcripts(spark, n_convs=10, seed=9)
+    inp = str(tmp_path / "in")
+    root = str(tmp_path / "stream_inc")
+    half1 = df.filter(F.col("conv_id") < "conv-000005")
+    half2 = df.subtract(half1)
+    half1.write.mode("overwrite").parquet(inp)
+    ingest.stream_ingest(
+        spark, inp, root, TRANSCRIPT_SCHEMA,
+        build_segment_index=True, shard_size=64,
+    )
+    half2.write.mode("append").parquet(inp)
+    ingest.stream_ingest(
+        spark, inp, root, TRANSCRIPT_SCHEMA,
+        build_segment_index=True, shard_size=64,
+    )
+    merged = ingest.compact_segments(spark, root, incremental=True)
+    rebuilt = ingest.compact_segments(spark, root, shard_size=64)
+    assert _packed_snap(merged) == _packed_snap(rebuilt)
+    a = [(r["doc_id"], round(r["score"], 9)) for r in
+         searcher.search(merged, "spark data query", 10).collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in
+         searcher.search(rebuilt, "spark data query", 10).collect()]
+    assert a == b
+
+
 def test_stream_ingest_stopwords_reach_compaction(spark, tmp_path):
     """Stopwords given at ingest time are recorded in ingest_meta.json and
     applied by compact_segments (regression: they were silently dropped)."""
