@@ -84,7 +84,8 @@ def main() -> None:
         index_fields=("lang", "source"),
         shard_size=shard_size,
         check_empty=False,  # corpus was counted above
-    ).materialize()
+    ).materialize(persist_docs=False)  # corpus is already cached; a second
+    # block-store copy of it is bandwidth waste, not index state
     build_sec = time.perf_counter() - t0
     timings["index_build"] = round(build_sec, 3)
 

@@ -87,23 +87,31 @@ class BM25Index:
         post = self.packed if self.packed is not None else self.postings
         return (self.stats, post, self.terms, self.docs)
 
-    def persist(self) -> "BM25Index":
+    def persist(self, persist_docs: bool = True) -> "BM25Index":
         for df in self._physical():
+            if df is self.docs and not persist_docs:
+                continue
             df.persist(StorageLevel.MEMORY_AND_DISK)
         return self
 
-    def materialize(self) -> "BM25Index":
+    def materialize(self, persist_docs: bool = True) -> "BM25Index":
         """Force the build. ``enc`` (the tokenize output) is pinned and
         computed BEFORE the index tables are even marked for caching:
         Spark's CacheManager freezes a persisted plan's physical form at
         registration time, so registering docs/terms/postings/stats first
         would capture plans WITHOUT the enc InMemoryRelation substitution
-        and the tokenizer UDF would re-run once per derived table."""
+        and the tokenizer UDF would re-run once per derived table.
+
+        ``persist_docs=False`` skips caching the docs table — when the
+        source corpus is already cached (or is a columnar table scan),
+        docs is a trivial projection of it and a second full copy in the
+        block store is pure memory-bandwidth waste; filters read through
+        the parent instead."""
         pin = self.enc if self.enc is not None else self.flat
         if pin is not None:
             pin.persist(StorageLevel.MEMORY_AND_DISK)
             pin.count()
-        self.persist()
+        self.persist(persist_docs=persist_docs)
         for df in self._physical():
             df.count()
         if pin is not None and pin is not self.docs:
