@@ -577,7 +577,7 @@ def _local_result_df(spark, rows_out: list[tuple]) -> DataFrame:
     if len(rows_out) <= 10_000:
         vals = ", ".join(
             "(%d, '%s', %d, %rD, %d)"
-            % (q, pk.replace("'", "''"), d, s, r)
+            % (q, pk.replace("\\", "\\\\").replace("'", "\\'"), d, s, r)
             for q, pk, d, s, r in rows_out
         )
         return spark.sql(

@@ -128,6 +128,47 @@ def test_merge_indexes_byte_identical_to_full_build(spark):
     assert merged.doclens.count() == full.doclens.count()
 
 
+def test_merge_indexes_partitioned(spark, tmp_path):
+    """Segment merge preserves per-pk statistics: merging two doc-range
+    segments of a role-partitioned corpus equals the full partitioned
+    build (packed bytes + per-pk stats), via independently persisted
+    segment indexes (the real usage shape)."""
+    from bm25_spark.operators.docids import assign_doc_ids
+    from bm25_spark.operators.indexer import (
+        merge_indexes,
+        read_index,
+        write_index,
+    )
+
+    df = synthetic_transcripts(spark, n_convs=16, seed=21)
+    with_ids = assign_doc_ids(df)
+    full = build_index(
+        with_ids, id_col="doc_id", partition_col="role", shard_size=64
+    )
+    cut = with_ids.count() // 2
+    seg_dirs = []
+    for i, part in enumerate(
+        (
+            with_ids.filter(F.col("doc_id") < cut),
+            with_ids.filter(F.col("doc_id") >= cut),
+        )
+    ):
+        idx = build_index(
+            part, id_col="doc_id", partition_col="role", shard_size=64,
+            check_empty=False,
+        )
+        root = str(tmp_path / f"seg{i}")
+        write_index(idx, root)
+        seg_dirs.append(root)
+    merged = merge_indexes([read_index(spark, r) for r in seg_dirs])
+    assert _packed_snap(merged) == _packed_snap(full)
+    a = sorted((r["pk"], r["n_docs"], round(r["avgdl"], 9))
+               for r in merged.stats.collect())
+    b = sorted((r["pk"], r["n_docs"], round(r["avgdl"], 9))
+               for r in full.stats.collect())
+    assert a == b
+
+
 def test_incremental_compaction_matches_rebuild(spark, tmp_path):
     """stream_ingest(build_segment_index=True) + compact(incremental=True)
     never re-tokenizes, yet equals the tokenize-everything compaction."""
