@@ -12,6 +12,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from bm25_spark.operators.indexer import build_index
+from bm25_spark.operators.packed import search_packed
 from bm25_spark.operators.searcher import search_batch
 from bm25_spark.oracle import OracleBM25
 
@@ -90,3 +91,16 @@ def test_packed_engine_matches_oracle(spark, corpus, queries, use_stop):
         for grp in _tie_groups(want):
             assert sorted(got_order[pos : pos + len(grp)]) == sorted(grp), q
             pos += len(grp)
+    # the distributed cluster scorer (block-max WAND in applyInPandas)
+    # agrees with the oracle too — first query keeps runtime sane
+    q0 = queries[0]
+    want0 = dict(oracle.search(q0, limit=max(n, 1)))
+    got0 = {
+        r["doc_id"]: r["score"]
+        for r in search_packed(
+            idx, [(0, q0)], limit=max(n, 1), force_cluster=True
+        ).collect()
+    }
+    assert set(got0) == set(want0), q0
+    for d, s in want0.items():
+        assert abs(got0[d] - s) <= 1e-9, (q0, d)
