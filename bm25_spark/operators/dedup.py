@@ -265,13 +265,24 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "block",
-    n_blocks: int = 8,
+    method: str = "auto",
+    n_blocks: int | None = None,
     n_planes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
     """(a, b, cosine): embedding near-dup pairs with round(cosine,4) >=
-    threshold, a < b.
+    threshold, a < b. ``id_col`` must be an integer column (ids are block
+    keys and pair members; a silent cast of string keys to NULL would drop
+    pairs, so non-integer ids are rejected loudly).
+
+    ``method="auto"`` picks the scale-appropriate strategy so a 100 TB run
+    with default arguments gets the right plan: true near-dup thresholds
+    (>= 0.8) route to the banded-LSH path (candidate generation + exact
+    verify — no exhaustive comparison); lower thresholds, where no metric
+    pruning exists, route to the exact block-GEMM with
+    ``n_blocks ~= max(8, N / 10k)`` derived from a cheap count so per-task
+    score tiles stay ~100 MB at any corpus size. Passing an explicit
+    ``n_blocks`` forces the exact block path at any threshold.
 
     Two scale paths (neither is a row-level crossJoin):
 
@@ -294,12 +305,29 @@ def embedding_neardup_pairs(
       ``n_planes`` bits — vanishingly rare for high-cosine pairs
       (P(bit differs) = acos(cos)/pi ~ 0.1 at cosine 0.95).
     """
+    id_type = dict(embeddings.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"embedding_neardup_pairs: id column {id_col!r} has type "
+            f"{id_type!r}; integer ids are required (a silent cast would "
+            "turn string keys into NULLs and drop pairs)"
+        )
+    if method == "auto":
+        method = (
+            "block"
+            if n_blocks is not None
+            else ("lsh" if threshold >= 0.8 else "block")
+        )
     if method == "lsh":
         return _embedding_neardup_lsh(
             embeddings, threshold, id_col, vec_col, n_planes, bands
         )
     if method != "block":
         raise ValueError(f"unknown method {method!r}")
+    if n_blocks is None:
+        # per-task GEMM tiles stay ~(10k)^2 doubles regardless of N
+        n = embeddings.count()
+        n_blocks = max(8, -(-n // 10_000))
     return _embedding_neardup_block(
         embeddings, threshold, id_col, vec_col, n_blocks
     )

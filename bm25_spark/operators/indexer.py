@@ -692,6 +692,12 @@ def merge_indexes(indexes: list[BM25Index]) -> BM25Index:
             or ix.b != first.b
             or ix.partitioned != first.partitioned
             or ix.text_col != first.text_col
+            # tokenizer/filter semantics must match too: segments tokenized
+            # with different stopword sets (or filterable fields) cannot
+            # merge into one coherent index — the merged index's query-side
+            # tokenizer would silently disagree with half the postings
+            or (ix.stopwords or frozenset()) != (first.stopwords or frozenset())
+            or tuple(ix.index_fields) != tuple(first.index_fields)
         ):
             raise ValueError("merge_indexes: incompatible index parameters")
         if ix.packed is None or ix.doclens is None:
@@ -855,22 +861,77 @@ def index_meta(index: BM25Index) -> dict:
     }
 
 
+def _is_local_path(path: str) -> bool:
+    """True for plain local paths and file:// URIs (the fast path); any
+    other scheme (hdfs://, s3a://, ...) routes through the Hadoop
+    FileSystem API — driver-local open()/os.path on those would silently
+    write to the wrong place or read empty."""
+    from urllib.parse import urlparse
+
+    scheme = urlparse(path).scheme
+    return scheme in ("", "file")
+
+
+def _hadoop_fs(path: str):
+    """(jvm, fs, jpath) for a Hadoop-FS path, via the active session's
+    JVM gateway and hadoopConfiguration (so s3a/hdfs credentials apply)."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(f"no active SparkSession to resolve {path!r}")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, jpath
+
+
+def _path_is_dir(path: str) -> bool:
+    if _is_local_path(path):
+        return os.path.isdir(path)
+    _, fs, jpath = _hadoop_fs(path)
+    return bool(fs.exists(jpath) and fs.getFileStatus(jpath).isDirectory())
+
+
 def _write_meta(meta: dict, path: str) -> None:
     import json
 
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=1)
-    os.replace(tmp, path)
+    payload = json.dumps(meta, indent=1)
+    if _is_local_path(path):
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        return
+    jvm, fs, jpath = _hadoop_fs(path)
+    jtmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(jtmp, True)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+    if not fs.rename(jtmp, jpath):
+        raise IOError(f"rename {path}.tmp -> {path} failed")
 
 
 def read_meta(path: str) -> dict | None:
     import json
 
+    if _is_local_path(path):
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
     try:
-        with open(path) as f:
-            return json.load(f)
-    except (OSError, json.JSONDecodeError):
+        jvm, fs, jpath = _hadoop_fs(path)
+        if not fs.exists(jpath):
+            return None
+        stream = fs.open(jpath)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+        return json.loads(bytes(baos.toByteArray()).decode("utf-8"))
+    except Exception:
         return None
 
 
@@ -898,7 +959,8 @@ def write_index(index: BM25Index, root: str, mode: str = "overwrite") -> None:
     if index.doclens is not None:
         w(index.doclens, p.doclens)
     index.stats.write.mode(mode).parquet(p.stats)
-    os.makedirs(root, exist_ok=True)
+    if _is_local_path(root):
+        os.makedirs(root, exist_ok=True)
     _write_meta(index_meta(index), p.meta)
 
 
@@ -948,7 +1010,7 @@ def read_index(
                     "refusing to guess a decode-critical parameter"
                 )
             shard_size = DEFAULT_SHARD_SIZE
-    doclens = rd(p.doclens) if os.path.isdir(p.doclens) else None
+    doclens = rd(p.doclens) if _path_is_dir(p.doclens) else None
     return BM25Index(
         spark=spark,
         docs=rd(p.docs),

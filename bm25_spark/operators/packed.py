@@ -26,8 +26,14 @@ Two physical strategies, chosen per query:
    surviving blobs in-process. This is what a search head does; Spark serves
    as the index store (predicate pushdown on term reads only those rows).
 2. **Cluster path** (batch / huge postings): ship blobs to executors,
-   score per (query, pk, shard) group in a vectorized applyInPandas, merge
-   shard top-k globally. Metadata filters become a doc-id mask INSIDE the
+   score per (pk, shard) group in a vectorized applyInPandas — ALL queries
+   in the batch are scored inside one pass over each shard's blobs (the
+   query plan is tiny and travels in the UDF closure), so a hot Zipf term's
+   blob crosses the shuffle ONCE, not once per query. When the index has
+   fewer shard groups than the cluster has slots, the query side is split
+   into a bounded number of buckets (blob replication = min(buckets,
+   queries-that-use-the-term), chosen at plan time — never Q). Per-shard
+   top-k merges globally. Metadata filters become a doc-id mask INSIDE the
    numpy scorer (reference semantics: filtered docs skipped during
    traversal, bm25.dart:644).
 """
@@ -57,7 +63,7 @@ from bm25_spark.operators.indexer import BM25Index
 from bm25_spark.operators.searcher import (
     RESULT_SCHEMA,
     _filter_predicate,
-    _query_frame_with_idf,
+    _stats_map,
     empty_result,
 )
 
@@ -621,11 +627,21 @@ def _cluster_scored(
     allowed: DataFrame | None,
     group_limit: int,
 ) -> DataFrame:
-    """(query_id, pk, doc_id, score): per-(query, pk, shard) vectorized
-    scoring with per-shard top-``group_limit`` (exact — shards are disjoint
-    doc ranges, so per-shard top-k ⊇ global top-k members)."""
+    """(query_id, pk, doc_id, score): per-(pk, shard) vectorized scoring of
+    the WHOLE query batch with per-(query, shard) top-``group_limit``
+    (exact — shards are disjoint doc ranges, so per-shard top-k ⊇ global
+    top-k members).
+
+    Shuffle shape: each packed blob crosses the exchange once per QUERY
+    BUCKET that needs its term — NOT once per query. The bucket count is
+    chosen at plan time as ceil(default parallelism / shard groups), capped
+    at the batch size, so a 1000-query batch over Zipf-hot terms on a big
+    index (shards >= slots) ships every blob exactly once and scores all
+    1000 queries in one pass per shard, sharing the varint block decodes
+    across queries."""
     shard_size = index.shard_size
     k1, b = index.k1, index.b
+    spark = index.spark
 
     needed = sorted({t for _, t, _ in qrows})
     p = index.packed.filter(F.col("term").isin(needed))
@@ -633,8 +649,61 @@ def _cluster_scored(
         p = p.withColumn("block_off", F.lit(None).cast("array<int>"))
     if partition_keys is not None:
         p = p.filter(F.col("pk").isin(partition_keys))
-    q_terms = F.broadcast(_query_frame_with_idf(index, qrows, partition_keys))
-    rows = p.join(q_terms, ["pk", "term"])
+
+    # Tiny driver-side query plan, shipped to executors in the UDF closure
+    # (Spark broadcasts the serialized command): idf per (pk, term) from
+    # the cached dictionary probe, avgdl per pk from the stats table. The
+    # executor-side join with a per-(query, term) frame — which replicated
+    # every blob row once per query containing its term — is gone.
+    tmeta = _term_meta(index, needed, partition_keys)
+    smap = _stats_map(index, partition_keys)
+    idf_map = {key: meta[0] for key, meta in tmeta.items()}
+    avgdl_map = {
+        pk_: float(st[1]) for pk_, st in smap.items() if st is not None
+    }
+
+    by_query: dict[int, list[tuple[str, int]]] = {}
+    for qid, term, qtf in qrows:
+        by_query.setdefault(qid, []).append((term, qtf))
+    qids = sorted(by_query)
+
+    # Query-bucket fan-out: with fewer (pk, shard) groups than task slots
+    # (small corpus / interactive cluster), one task per group would
+    # serialize the batch; splitting the query side into n_buckets groups
+    # restores parallelism at a replication cost of at most n_buckets per
+    # blob. Blobs are routed ONLY to buckets whose queries use the term
+    # (broadcast (term, qb) join), so replication is additionally capped by
+    # the number of queries using the term — the worst case equals the old
+    # per-query grouping, the big-index case (n_buckets=1) ships each blob
+    # once.
+    n_groups = sum(
+        -(-int(st[0]) // shard_size)
+        for pk_, st in smap.items()
+        if st is not None
+        and (partition_keys is None or pk_ in partition_keys)
+    ) or 1
+    target = spark.sparkContext.defaultParallelism
+    n_buckets = min(len(qids), max(1, -(-target // n_groups)))
+    bucket_of = {qid: i % n_buckets for i, qid in enumerate(qids)}
+    queries_by_bucket: dict[int, list] = {}
+    for qid in qids:
+        queries_by_bucket.setdefault(bucket_of[qid], []).append(
+            (qid, by_query[qid])
+        )
+    term_bucket_rows = sorted(
+        {
+            (term, bucket_of[qid])
+            for qid, tq in by_query.items()
+            for term, _ in tq
+        }
+    )
+    tb = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(term_bucket_rows, columns=["term", "qb"]),
+            "term string, qb int",
+        )
+    )
+    rows = p.join(tb, "term")
 
     has_filter = allowed is not None
     if has_filter:
@@ -674,149 +743,186 @@ def _cluster_scored(
         ).astype({"query_id": np.int64, "doc_id": np.int64, "score": np.float64})
 
     def score_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        """Exact per-shard top-group_limit with BLOCK-MAX WAND inside the
-        executor task: segments (the partition of the shard's doc-id space
-        induced by every term's block boundaries) are scored in upper-bound
-        order against a running local theta; once the group's top-k is full,
-        segments — and therefore blocks — that cannot beat theta are never
-        varint-decoded. Same safety argument as the driver path: bounds are
-        true upper bounds in the SAME float association as the scorer,
-        pruning is strict, segments are disjoint so every kept doc's score
-        is complete."""
-        qid, pk, shard = int(key[0]), key[1], int(key[2])
+        """Score every query of this bucket against one shard's blobs with
+        BLOCK-MAX WAND inside the executor task: per query, segments (the
+        partition of the shard's doc-id space induced by the query terms'
+        block boundaries) are scored in upper-bound order against a running
+        local theta; once the query's top-k is full, segments — and
+        therefore blocks — that cannot beat theta are never varint-decoded.
+        Block decodes are cached PER TERM and shared across all queries in
+        the task (a hot term's postings decode once per shard, not once per
+        query). Same safety argument as the driver path: bounds are true
+        upper bounds in the SAME float association as the scorer, pruning
+        is strict, segments are disjoint so every kept doc's score is
+        complete."""
+        pk, shard, qb = key[0], int(key[1]), int(key[2])
         shard_base = shard * shard_size
-        avgdl = float(pdf["avgdl"].iloc[0])
+        avgdl = avgdl_map.get(pk)
+        queries = queries_by_bucket.get(qb)
+        if avgdl is None or not queries:
+            return _empty_scored()
         mask_bits = None
         if has_filter:
             mask_bits = np.unpackbits(
                 np.frombuffer(pdf["allowed_bm"].iloc[0], dtype=np.uint8)
-            )
-        entries = []
-        for data, n, qtf, idf, bl, bm, off in zip(
-            pdf["data"], pdf["n"], pdf["qtf"], pdf["idf"],
+            ).astype(bool)
+        term_rows: dict[str, tuple] = {}
+        for term, data, n, bl, bm, off in zip(
+            pdf["term"], pdf["data"], pdf["n"],
             pdf["block_last"], pdf["block_max"], pdf["block_off"],
         ):
-            entries.append(
+            term_rows[term] = (
+                bytes(data),
+                int(n),
+                np.asarray(bl, dtype=np.int64),
+                np.asarray(bm, dtype=np.float64),
                 (
-                    float(qtf) * float(idf),
-                    bytes(data),
-                    int(n),
-                    np.asarray(bl, dtype=np.int64),
-                    np.asarray(bm, dtype=np.float64),
-                    (
-                        np.asarray(off, dtype=np.int64)
-                        if off is not None
-                        else None
-                    ),
+                    np.asarray(off, dtype=np.int64)
+                    if off is not None
+                    else None
+                ),
+            )
+        dec_cache: dict[str, dict] = {}
+
+        def decoded_blocks(term: str, need: np.ndarray | None):
+            """(ids, tfs, dls) for the given block ids of one term (None =
+            full decode for legacy blobs without offsets), via the per-term
+            cache shared across every query in this task."""
+            data, n, bl, _bm, off = term_rows[term]
+            cache_t = dec_cache.setdefault(term, {})
+            if need is None or off is None:
+                full = cache_t.get("full")
+                if full is None:
+                    full = codec.unpack_postings(data, n, shard_base)
+                    cache_t["full"] = full
+                return full
+            nl = need.tolist()
+            new = [b_ for b_ in nl if b_ not in cache_t]
+            if new:
+                i_n, t_n, d_n = codec.unpack_blocks(
+                    data, n, shard_base, bl, off, np.asarray(new, np.int64)
+                )
+                o = 0
+                for b_ in new:
+                    s_ = min((b_ + 1) * codec.BLOCK, n) - b_ * codec.BLOCK
+                    cache_t[b_] = (
+                        i_n[o : o + s_],
+                        t_n[o : o + s_],
+                        d_n[o : o + s_],
+                    )
+                    o += s_
+            if len(nl) == 1:
+                return cache_t[nl[0]]
+            ids = np.concatenate([cache_t[b_][0] for b_ in nl])
+            tfs = np.concatenate([cache_t[b_][1] for b_ in nl])
+            dls = np.concatenate([cache_t[b_][2] for b_ in nl])
+            return ids, tfs, dls
+
+        frames = []
+        for qid, tq in queries:
+            entries = []
+            for term, qtf in tq:
+                idf = idf_map.get((pk, term))
+                if idf is None or term not in term_rows:
+                    continue
+                entries.append((float(qtf) * float(idf), term))
+            if not entries:
+                continue
+            bounds = np.unique(
+                np.concatenate([term_rows[t][2] for _, t in entries])
+            )
+            nseg = len(bounds)
+            seg_ub = np.zeros(nseg)
+            covers = []
+            for w, t in entries:
+                bl, bm = term_rows[t][2], term_rows[t][3]
+                ci = np.searchsorted(bl, bounds)
+                valid = ci < len(bl)
+                seg_ub[valid] += w * bm[ci[valid]]
+                covers.append((ci, valid))
+            order = np.argsort(-seg_ub, kind="stable")
+
+            theta = -np.inf
+            top_buf = np.empty(0, dtype=np.float64)
+            kept_ids, kept_scores = [], []
+            count = 0
+            CHUNK = 64
+            pos = 0
+            while pos < nseg:
+                chunk = order[pos : pos + CHUNK]
+                pos += CHUNK
+                if count >= group_limit:
+                    chunk = chunk[seg_ub[chunk] >= theta]
+                    if len(chunk) == 0:
+                        break  # order is ub-descending: the rest is dead too
+                sel_mask = np.zeros(nseg, dtype=bool)
+                sel_mask[chunk] = True
+                docs_l, contrib_l = [], []
+                for t_i, (w, t) in enumerate(entries):
+                    ci, valid = covers[t_i]
+                    need = np.unique(ci[sel_mask & valid])
+                    if len(need) == 0:
+                        continue
+                    legacy = term_rows[t][4] is None
+                    ids, tfs, dls = decoded_blocks(
+                        t, None if legacy else need
+                    )
+                    keep = sel_mask[np.searchsorted(bounds, ids)]
+                    if mask_bits is not None:
+                        # reference semantics: non-allowed docs skipped
+                        # during traversal (bm25.dart:644); mask-only,
+                        # bounds stay valid
+                        keep = keep & mask_bits[ids - shard_base]
+                    if not keep.any():
+                        continue
+                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                    tfs = tfs.astype(np.float64)
+                    norm = (1.0 - b) + b * dls.astype(np.float64) / avgdl
+                    contrib_l.append(
+                        w * (tfs * (k1 + 1.0) / (tfs + k1 * norm))
+                    )
+                    docs_l.append(ids)
+                if not docs_l:
+                    continue
+                docs_cat = np.concatenate(docs_l)
+                contrib = np.concatenate(contrib_l)
+                dense = np.bincount(docs_cat - shard_base, weights=contrib)
+                nz = np.flatnonzero(dense)
+                kept_ids.append(nz + shard_base)
+                kept_scores.append(dense[nz])
+                count += len(nz)
+                top_buf = np.concatenate((top_buf, dense[nz]))
+                if len(top_buf) > group_limit:
+                    top_buf = np.partition(top_buf, -group_limit)[-group_limit:]
+                if len(top_buf) >= group_limit:
+                    theta = top_buf.min()
+            if not kept_ids:
+                continue
+            uniq = np.concatenate(kept_ids)  # segments disjoint -> unique
+            acc = np.concatenate(kept_scores)
+            k = min(group_limit, len(uniq))
+            if k < len(uniq):
+                # exact cut with the global (score desc, doc_id asc)
+                # tie-break: an equal-scored doc at the k boundary must not
+                # be dropped by an order-agnostic partition
+                idx = np.lexsort((uniq, -acc))[:k]
+            else:
+                idx = np.arange(len(uniq))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.int64(qid),
+                        "pk": pk,
+                        "doc_id": uniq[idx],
+                        "score": acc[idx],
+                    }
                 )
             )
-        if not entries:
+        if not frames:
             return _empty_scored()
+        return pd.concat(frames, ignore_index=True)
 
-        bounds = np.unique(np.concatenate([e[3] for e in entries]))
-        nseg = len(bounds)
-        seg_ub = np.zeros(nseg)
-        covers = []
-        for w, data, n, bl, bm, off in entries:
-            ci = np.searchsorted(bl, bounds)
-            valid = ci < len(bl)
-            seg_ub[valid] += w * bm[ci[valid]]
-            covers.append((ci, valid))
-        order = np.argsort(-seg_ub, kind="stable")
-
-        theta = -np.inf
-        top_buf = np.empty(0, dtype=np.float64)
-        kept_ids, kept_scores = [], []
-        count = 0
-        dec_cache: list[dict] = [dict() for _ in entries]
-        legacy = any(e[5] is None for e in entries)
-        CHUNK = 64
-        pos = 0
-        while pos < nseg:
-            chunk = order[pos : pos + CHUNK]
-            pos += CHUNK
-            if count >= group_limit:
-                chunk = chunk[seg_ub[chunk] >= theta]
-                if len(chunk) == 0:
-                    break  # order is ub-descending: the rest is dead too
-            sel_mask = np.zeros(nseg, dtype=bool)
-            sel_mask[chunk] = True
-            docs_l, contrib_l = [], []
-            for t_i, (w, data, n, bl, bm, off) in enumerate(entries):
-                ci, valid = covers[t_i]
-                need = np.unique(ci[sel_mask & valid])
-                if len(need) == 0:
-                    continue
-                cache_t = dec_cache[t_i]
-                if legacy:
-                    full = cache_t.get("full")
-                    if full is None:
-                        full = codec.unpack_postings(data, n, shard_base)
-                        cache_t["full"] = full
-                    ids, tfs, dls = full
-                else:
-                    new = [b_ for b_ in need.tolist() if b_ not in cache_t]
-                    if new:
-                        i_n, t_n, d_n = codec.unpack_blocks(
-                            data, n, shard_base, bl, off,
-                            np.asarray(new, np.int64),
-                        )
-                        o = 0
-                        for b_ in new:
-                            s_ = min((b_ + 1) * codec.BLOCK, n) - b_ * codec.BLOCK
-                            cache_t[b_] = (
-                                i_n[o : o + s_],
-                                t_n[o : o + s_],
-                                d_n[o : o + s_],
-                            )
-                            o += s_
-                    nl = need.tolist()
-                    ids = np.concatenate([cache_t[b_][0] for b_ in nl])
-                    tfs = np.concatenate([cache_t[b_][1] for b_ in nl])
-                    dls = np.concatenate([cache_t[b_][2] for b_ in nl])
-                keep = sel_mask[np.searchsorted(bounds, ids)]
-                if mask_bits is not None:
-                    # reference semantics: non-allowed docs skipped during
-                    # traversal (bm25.dart:644); mask-only, bounds stay valid
-                    keep = keep & mask_bits[ids - shard_base].astype(bool)
-                if not keep.any():
-                    continue
-                ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
-                tfs = tfs.astype(np.float64)
-                norm = (1.0 - b) + b * dls.astype(np.float64) / avgdl
-                contrib_l.append(w * (tfs * (k1 + 1.0) / (tfs + k1 * norm)))
-                docs_l.append(ids)
-            if not docs_l:
-                continue
-            docs_cat = np.concatenate(docs_l)
-            contrib = np.concatenate(contrib_l)
-            dense = np.bincount(docs_cat - shard_base, weights=contrib)
-            nz = np.flatnonzero(dense)
-            kept_ids.append(nz + shard_base)
-            kept_scores.append(dense[nz])
-            count += len(nz)
-            top_buf = np.concatenate((top_buf, dense[nz]))
-            if len(top_buf) > group_limit:
-                top_buf = np.partition(top_buf, -group_limit)[-group_limit:]
-            if len(top_buf) >= group_limit:
-                theta = top_buf.min()
-        if not kept_ids:
-            return _empty_scored()
-        uniq = np.concatenate(kept_ids)  # segments disjoint -> already unique
-        acc = np.concatenate(kept_scores)
-        k = min(group_limit, len(uniq))
-        if k < len(uniq):
-            # exact cut with the global (score desc, doc_id asc) tie-break:
-            # an equal-scored doc at the k boundary must not be dropped by
-            # an order-agnostic partition
-            idx = np.lexsort((uniq, -acc))[:k]
-        else:
-            idx = np.arange(len(uniq))
-        return pd.DataFrame(
-            {"query_id": qid, "pk": pk, "doc_id": uniq[idx], "score": acc[idx]}
-        )
-
-    return rows.groupBy("query_id", "pk", "shard").applyInPandas(
+    return rows.groupBy("pk", "shard", "qb").applyInPandas(
         score_group, schema=_SCORED_SCHEMA
     )
 

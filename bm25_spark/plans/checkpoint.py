@@ -62,8 +62,19 @@ def checkpointed_build(
     root: str,
     partition_col: str,
     build_kwargs: dict | None = None,
+    pks_per_job: int = 64,
 ) -> dict:
-    """Build the index one pk-partition at a time with commit manifests.
+    """Build the index in pk-partition BATCHES with per-pk commit manifests.
+
+    Each job builds up to ``pks_per_job`` partitions in ONE Spark build
+    (per-pk stats come from the partitioned build itself) and lands them
+    with ONE dynamic-partition-overwrite write per index table — so the
+    number of passes over the corpus is O(P / pks_per_job), not O(P), and
+    every partition in a batch builds in parallel. The commit unit stays
+    the pk: manifests are written per pk after its batch's data committed,
+    and a resumed run re-does only pks without a matching manifest
+    (dynamic overwrite replaces exactly the pk directories being rewritten,
+    never completed ones).
 
     Returns summary metrics. Resume: re-invoking with the same inputs skips
     completed partitions (lineage fingerprint = build params; callers that
@@ -82,7 +93,12 @@ def checkpointed_build(
         for r in transcripts.select(partition_col).distinct().collect()
     ]
     os.makedirs(_manifest_dir(root), exist_ok=True)
-    summary = {"partitions_total": len(keys), "partitions_skipped": 0, "partitions_built": 0}
+    summary = {
+        "partitions_total": len(keys),
+        "partitions_skipped": 0,
+        "partitions_built": 0,
+        "build_jobs": 0,
+    }
 
     todo = [k for k in sorted(map(str, keys)) if k not in done]
     summary["partitions_skipped"] = len(keys) - len(todo)
@@ -108,47 +124,85 @@ def checkpointed_build(
 
     from pyspark import StorageLevel
 
-    for key in todo:
-        t0 = time.perf_counter()
-        part = with_ids.filter(F.col(partition_col).cast("string") == key)
-        idx = build_index(part, partition_col=partition_col, **build_kwargs)
-        # pin the tokenize output (runs) and the packed postings so the
-        # 4-5 table writes below share ONE tokenize+pack computation
-        # instead of re-running the pipeline per table
-        pins = [df for df in (idx.enc, idx.packed) if df is not None]
-        for df_ in pins:
-            df_.persist(StorageLevel.MEMORY_AND_DISK)
-        metrics = {}
-        tables = [
-            ("docs", idx.docs),
-            ("terms", idx.terms),
-            ("postings", idx.packed if idx.packed is not None else idx.postings),
-            ("stats", idx.stats),
-        ]
-        if idx.doclens is not None:
-            tables.append(("doclens", idx.doclens))
-        for tname, df in tables:
-            path = os.path.join(root, tname, f"pk={key}")
-            df.drop("pk").write.mode("overwrite").parquet(path)
-            metrics[f"{tname}_rows"] = df.sparkSession.read.parquet(path).count()
-        from bm25_spark.operators.indexer import _write_meta, index_meta
+    spark = transcripts.sparkSession
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        for lo in range(0, len(todo), max(1, pks_per_job)):
+            batch = todo[lo : lo + max(1, pks_per_job)]
+            t0 = time.perf_counter()
+            part = with_ids.filter(
+                F.col(partition_col).cast("string").isin(batch)
+            )
+            idx = build_index(part, partition_col=partition_col, **build_kwargs)
+            # pin the tokenize output (runs) and the packed postings so the
+            # 4-5 table writes below share ONE tokenize+pack computation
+            # instead of re-running the pipeline per table
+            pins = [df for df in (idx.enc, idx.packed) if df is not None]
+            for df_ in pins:
+                df_.persist(StorageLevel.MEMORY_AND_DISK)
+            tables = [
+                ("docs", idx.docs),
+                ("terms", idx.terms),
+                ("postings", idx.packed if idx.packed is not None else idx.postings),
+                ("stats", idx.stats),
+            ]
+            if idx.doclens is not None:
+                tables.append(("doclens", idx.doclens))
+            metrics_by_pk: dict[str, dict] = {k: {} for k in batch}
+            for tname, df in tables:
+                base = os.path.join(root, tname)
+                # dynamic overwrite: ONE write job lands every pk=<value>
+                # directory of this batch, leaving completed pks untouched
+                df.write.mode("overwrite").partitionBy("pk").parquet(base)
+                # count-back verification off the committed files, scoped to
+                # this batch's directories (a batch never re-reads the rest)
+                written = [
+                    os.path.join(base, f"pk={k}")
+                    for k in batch
+                    if os.path.isdir(os.path.join(base, f"pk={k}"))
+                ]
+                if written:
+                    counts = (
+                        spark.read.option("basePath", base)
+                        .parquet(*written)
+                        .groupBy(F.col("pk").cast("string").alias("pk"))
+                        .count()
+                        .collect()
+                    )
+                else:
+                    counts = []
+                got = {r["pk"]: r["count"] for r in counts}
+                for k in batch:
+                    metrics_by_pk[k][f"{tname}_rows"] = int(got.get(k, 0))
+            from bm25_spark.operators.indexer import _write_meta, index_meta
 
-        _write_meta(index_meta(idx), os.path.join(root, "meta.json"))
-        for df_ in pins:
-            df_.unpersist()
-        manifest = {
-            "pk": key,
-            "status": "done",
-            "fingerprint": fp,
-            "elapsed_sec": round(time.perf_counter() - t0, 3),
-            "metrics": metrics,
-            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        }
-        tmp = _manifest_path(root, key) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, _manifest_path(root, key))
-        summary["partitions_built"] += 1
+            _write_meta(index_meta(idx), os.path.join(root, "meta.json"))
+            for df_ in pins:
+                df_.unpersist()
+            elapsed = round(time.perf_counter() - t0, 3)
+            for key in batch:
+                manifest = {
+                    "pk": key,
+                    "status": "done",
+                    "fingerprint": fp,
+                    "elapsed_sec": elapsed,  # whole batch job's wall time
+                    "batch_pks": len(batch),
+                    "metrics": metrics_by_pk[key],
+                    "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                }
+                tmp = _manifest_path(root, key) + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(manifest, f)
+                os.replace(tmp, _manifest_path(root, key))
+                summary["partitions_built"] += 1
+            summary["build_jobs"] += 1
+    finally:
+        if prev_mode is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_mode)
     return summary
 
 

@@ -128,7 +128,21 @@ def stream_ingest(
                 shard_size=shard_size,
                 check_empty=False,
             )
-            write_index(idx, _segment_index_path(root, batch_id))
+            # pin the tokenize output and packed postings so write_index's
+            # 4-5 independent table writes share ONE tokenize+pack
+            # computation (same reason checkpointed_build pins them) —
+            # without this every micro-batch re-runs the fused pipeline
+            # once per table
+            from pyspark import StorageLevel
+
+            pins = [d for d in (idx.enc, idx.packed) if d is not None]
+            for d in pins:
+                d.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                write_index(idx, _segment_index_path(root, batch_id))
+            finally:
+                for d in pins:
+                    d.unpersist()
 
     stream = spark.readStream.schema(schema).parquet(input_path)
     writer = (
@@ -145,10 +159,10 @@ def stream_ingest(
 def compact_segments(
     spark: SparkSession,
     root: str,
-    k1: float = 1.2,
-    b: float = 0.75,
-    index_fields: tuple[str, ...] = ("role", "tool", "conv_id"),
-    shard_size: int = 1 << 20,
+    k1: float | None = None,
+    b: float | None = None,
+    index_fields: tuple[str, ...] | None = None,
+    shard_size: int | None = None,
     partition_col: str | None = None,
     stopwords=None,
     text_col: str | None = None,
@@ -162,7 +176,11 @@ def compact_segments(
     indexer.merge_indexes — compaction then never re-tokenizes; it
     decodes, merges, and re-packs posting blobs only (byte-identical
     result to the rebuild, asserted in tests). ``stopwords``/``text_col``
-    default from ingest_meta.json; explicit arguments override."""
+    default from ingest_meta.json; explicit arguments override the batch
+    path. Incremental merge inherits EVERY parameter from the segment
+    indexes themselves — an explicit argument that disagrees with the
+    segment metadata raises instead of being silently ignored (changing
+    k1/b/shard_size/stopwords requires a rebuild, not a merge)."""
     from bm25_spark.operators.indexer import build_index
 
     if incremental:
@@ -178,7 +196,43 @@ def compact_segments(
                 "no segment indexes — run stream_ingest with "
                 "build_segment_index=True"
             )
-        return merge_indexes([read_index(spark, r) for r in roots])
+        segs = [read_index(spark, r) for r in roots]
+        first = segs[0]
+        conflicts = []
+        if k1 is not None and k1 != first.k1:
+            conflicts.append(f"k1={k1} (segments: {first.k1})")
+        if b is not None and b != first.b:
+            conflicts.append(f"b={b} (segments: {first.b})")
+        if shard_size is not None and shard_size != first.shard_size:
+            conflicts.append(
+                f"shard_size={shard_size} (segments: {first.shard_size})"
+            )
+        if index_fields is not None and tuple(index_fields) != first.index_fields:
+            conflicts.append(
+                f"index_fields={tuple(index_fields)} "
+                f"(segments: {first.index_fields})"
+            )
+        if stopwords is not None and frozenset(stopwords) != (
+            first.stopwords or frozenset()
+        ):
+            conflicts.append("stopwords differ from the segment indexes'")
+        if text_col is not None and text_col != first.text_col:
+            conflicts.append(
+                f"text_col={text_col!r} (segments: {first.text_col!r})"
+            )
+        if partition_col is not None:
+            conflicts.append(
+                "partition_col cannot change at merge time (segments carry "
+                "their build-time partitioning)"
+            )
+        if conflicts:
+            raise ValueError(
+                "compact_segments(incremental=True) cannot override "
+                "segment-index parameters — rebuild instead "
+                "(compact_segments(incremental=False)): "
+                + "; ".join(conflicts)
+            )
+        return merge_indexes(segs)
 
     meta = _load_json(_meta_path(root))
     if stopwords is None:
@@ -190,10 +244,14 @@ def compact_segments(
         seg,
         text_col=text_col,
         id_col="doc_id",
-        k1=k1,
-        b=b,
-        index_fields=tuple(index_fields),
+        k1=1.2 if k1 is None else k1,
+        b=0.75 if b is None else b,
+        index_fields=(
+            ("role", "tool", "conv_id")
+            if index_fields is None
+            else tuple(index_fields)
+        ),
         partition_col=partition_col,
         stopwords=stopwords,
-        shard_size=shard_size,
+        shard_size=(1 << 20) if shard_size is None else shard_size,
     )

@@ -22,6 +22,8 @@ def test_checkpointed_build_and_resume(spark, tmp_path):
     s1 = checkpoint.checkpointed_build(df, root, partition_col="role")
     assert s1["partitions_built"] == s1["partitions_total"] > 0
     assert s1["partitions_skipped"] == 0
+    # P partitions build in ONE batched Spark job, not P serial passes
+    assert s1["build_jobs"] == 1
     # manifests carry metrics
     mdir = os.path.join(root, "_manifests")
     m = json.load(open(os.path.join(mdir, sorted(os.listdir(mdir))[0])))
@@ -36,17 +38,28 @@ def test_checkpointed_build_and_resume(spark, tmp_path):
     victim = sorted(os.listdir(mdir))[0]
     os.remove(os.path.join(mdir, victim))
     s3 = checkpoint.checkpointed_build(df, root, partition_col="role")
-    assert s3["partitions_built"] == 1
+    assert s3["partitions_built"] == 1 and s3["build_jobs"] == 1
 
-    # the reloaded index answers partition-scoped queries like a fresh build
+    # small pks_per_job batches the work without changing the result
+    root2 = str(tmp_path / "idx2")
+    s4 = checkpoint.checkpointed_build(
+        df, root2, partition_col="role", pks_per_job=1
+    )
+    assert s4["build_jobs"] == s4["partitions_built"] == s1["partitions_total"]
+
+    # the reloaded indexes (batched AND per-pk jobs) answer partition-scoped
+    # queries like a fresh build
     idx = checkpoint.read_checkpointed_index(spark, root)
+    idx2 = checkpoint.read_checkpointed_index(spark, root2)
     fresh = build_index(df, partition_col="role")
     for key in ["user", "assistant"]:
         a = [(r["doc_id"], round(r["score"], 9)) for r in
              searcher.search_in(idx, key, "spark data query", 10).collect()]
         b = [(r["doc_id"], round(r["score"], 9)) for r in
              searcher.search_in(fresh, key, "spark data query", 10).collect()]
-        assert a == b
+        c = [(r["doc_id"], round(r["score"], 9)) for r in
+             searcher.search_in(idx2, key, "spark data query", 10).collect()]
+        assert a == b == c
 
 
 def test_stream_ingest_and_compact(spark, tmp_path):
