@@ -222,6 +222,34 @@ def q_topk_filtered(spark, sf_dir):
     return _rounded_topk(res, TOPK)
 
 
+LIST_FILTER_TAGS = ["en", "src3"]
+
+
+def q_topk_filter_list(spark, sf_dir):
+    """Array-valued metadata filter through the FULL search path: a
+    tags=array(lang, source) column is indexed as array<string> and the
+    filter matches if the value appears anywhere in the list — reference
+    list-meta semantics (bm25.dart:487-493, test/bm25_test.dart:706-752).
+    Oracle-equivalent: lang IN tags OR source IN tags."""
+    from bm25_spark.operators.indexer import build_index
+    from bm25_spark.operators.searcher import search_batch
+
+    docs = _read_docs(spark, sf_dir).withColumn(
+        "tags", F.array(F.col("lang"), F.col("source"))
+    )
+    idx = build_index(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        index_fields=("lang", "source", "tags"),
+    )
+    n = docs.count()
+    res = search_batch(
+        idx, [(0, FLAGSHIP_QUERY)], limit=n, flt={"tags": LIST_FILTER_TAGS}
+    )
+    return _rounded_topk(res, TOPK)
+
+
 def q_partitioned_stats(spark, sf_dir):
     idx = _index(spark, sf_dir, partition_col="lang")
     return idx.stats.select(
@@ -674,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_score": q_score,
         "bm25_topk": q_topk,
         "bm25_topk_filtered": q_topk_filtered,
+        "bm25_filter_list": q_topk_filter_list,
         "bm25_partitioned_stats": q_partitioned_stats,
         "bm25_search_in": q_search_in,
         "bm25_search_many": q_search_many,
@@ -759,6 +788,16 @@ idf AS (
         "bm25_topk": _BASE + _scored_sql(FLAGSHIP_QUERY) + topk_tail,
         "bm25_topk_filtered": _BASE
         + _scored_sql(FLAGSHIP_QUERY, filter_where)
+        + topk_tail,
+        "bm25_filter_list": _BASE
+        + _scored_sql(
+            FLAGSHIP_QUERY,
+            # tags = [lang, source]: "any list element in filter values"
+            # == lang matches OR source matches
+            "lang IN ({v}) OR source IN ({v})".format(
+                v=", ".join(repr(x) for x in LIST_FILTER_TAGS)
+            ),
+        )
         + topk_tail,
         "bm25_partitioned_stats": part_base
         + "SELECT pk AS lang, n_docs, round(avgdl, 4) AS avgdl FROM stats",

@@ -113,6 +113,57 @@ def test_filter_unindexed_field_raises(synth_index):
         searcher.search(synth_index, "spark", flt={"lang": "en"})
 
 
+def test_list_valued_metadata_filter(spark, synth):
+    """Engine-side list-valued metadata: the reference indexes list meta
+    per element (bm25.dart:487-493; test/bm25_test.dart:706-752) — a
+    filter value matches if it appears ANYWHERE in the doc's list. Build
+    an index over an array<string> column and cross-check the full search
+    path (packed driver AND cluster scorer) against the pure-Python
+    oracle's list-meta handling."""
+    df, rows = synth
+    tagged = df.withColumn(
+        "tags", F.array(F.col("role"), F.concat(F.lit("t_"), F.col("tool")))
+    )
+    idx = build_index(
+        tagged, index_fields=("role", "tool", "tags"), shard_size=64
+    ).materialize()
+    try:
+        texts = []
+        for r in rows:
+            texts.append(
+                (
+                    r["text"],
+                    {
+                        "role": r["role"],
+                        "tool": r["tool"],
+                        "tags": [r["role"], f"t_{r['tool']}"],
+                    },
+                )
+            )
+        oracle = OracleBM25(texts, index_fields=["role", "tool", "tags"])
+        cases = [
+            {"tags": "user"},                      # scalar vs array field
+            {"tags": ["user", "t_search"]},        # union within field
+            {"tags": ["t_code"], "role": "assistant"},  # intersect across
+            {"tags": "no-such-tag"},               # empty result
+        ]
+        from bm25_spark.operators.packed import search_packed
+
+        for flt in cases:
+            want = oracle.search("spark data", limit=10, flt=flt)
+            got = _ranked(searcher.search(idx, "spark data", limit=10, flt=flt))
+            assert [d for d, _ in got] == [d for d, _ in want], flt
+            for (_, gs), (_, ws) in zip(got, want):
+                assert abs(gs - ws) < 1e-9
+            clus = search_packed(
+                idx, [(0, "spark data")], limit=10, flt=flt, force_cluster=True
+            )
+            got_c = [(r["doc_id"], r["score"]) for r in clus.orderBy("rank").collect()]
+            assert [d for d, _ in got_c] == [d for d, _ in want], flt
+    finally:
+        idx.unpersist()
+
+
 def test_limit_and_empty(golden_index):
     assert searcher.search(golden_index, "dog", limit=1).count() == 1
     assert searcher.search(golden_index, "", limit=3).count() == 0
