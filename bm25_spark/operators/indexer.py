@@ -122,6 +122,24 @@ class BM25Index:
         for df in self._physical():
             df.unpersist()
 
+    def invalidate_caches(self) -> None:
+        """Drop every driver-side query cache (term dictionary, shard
+        metadata, raw/decoded blobs, filter sets, stats) held on this
+        object by the search paths (packed.warm_query_caches and the lazy
+        probes underneath it).
+
+        Cache-coherence contract: caches live in the INDEX OBJECT's
+        ``__dict__``; operators that produce a changed index
+        (merge_indexes, compact_segments, checkpointed builds) return a
+        NEW BM25Index, whose caches start empty — a warmed old object
+        keeps serving its own (still-correct) snapshot. Anything that
+        instead mutates ``packed``/``postings``/``stats`` on an existing
+        object IN PLACE must call this method, or a warmed search head
+        will serve stale postings. (pack_index does; external callers
+        rebinding table attributes by hand must too.)"""
+        for k in [k for k in self.__dict__ if k.startswith("_")]:
+            del self.__dict__[k]
+
 
 def build_index(
     transcripts: DataFrame,

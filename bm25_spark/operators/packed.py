@@ -141,6 +141,9 @@ def pack_index(index: BM25Index) -> BM25Index:
         "z.block_max", "z.block_off",
     )
     index.packed = packed
+    # the physical postings just changed in place -> warmed caches (if
+    # any) would serve the OLD postings; see BM25Index.invalidate_caches
+    index.invalidate_caches()
     return index
 
 
@@ -291,17 +294,26 @@ def _fetch_raw_blobs(index: BM25Index, wanted: set[tuple[str, str, int]]) -> Non
         # A complete preload (warm_query_caches) is size-gated instead.
         cache.clear()
         index.__dict__.get("_decoded_cache", {}).clear()
+        index.__dict__.get("_partial_decode_cache", {}).clear()
+        index.__dict__["_partial_decode_blocks"] = 0
     missing = [k for k in wanted if k not in cache]
     if missing:
         terms_m = sorted({t for _, t, _ in missing})
         pks_m = sorted({p for p, _, _ in missing})
+        shards_m = sorted({s for _, _, s in missing})
         has_off = "block_off" in index.packed.columns
         cols = ["pk", "term", "shard", "n", "data", "block_last", "block_max"]
         if has_off:
             cols.append("block_off")
         rows = (
             index.packed.filter(
-                F.col("term").isin(terms_m) & F.col("pk").isin(pks_m)
+                F.col("term").isin(terms_m)
+                & F.col("pk").isin(pks_m)
+                # shard predicate: ub-ordered fetch waves (see _driver_topk)
+                # must not drag in every shard of a term the moment one
+                # shard of it is wanted — bytes collected track the WAND
+                # frontier, not the whole term
+                & F.col("shard").isin(shards_m)
             )
             .select(*cols)
             .collect()
@@ -336,6 +348,47 @@ def _decoded(index: BM25Index, key: tuple[str, str, int]):
     return out
 
 
+def _decoded_blocks_driver(
+    index: BM25Index,
+    key: tuple[str, str, int],
+    raw,
+    need: np.ndarray,
+):
+    """(ids, tfs, dls) for the given block ids of one (pk, term, shard)
+    blob, via a per-BLOCK cache on the index (the same structure the
+    cluster scorer keeps task-locally): a block reached through different
+    ``need`` shapes across queries decodes exactly once."""
+    n, data, bl, _bm, off = raw
+    pcache = index.__dict__.setdefault("_partial_decode_cache", {})
+    ct = pcache.setdefault(key, {})
+    nl = need.tolist()
+    new = [b_ for b_ in nl if b_ not in ct]
+    if new:
+        n_blocks = index.__dict__.get("_partial_decode_blocks", 0)
+        if n_blocks > 65536:  # bound driver memory; re-decode is cheap
+            pcache.clear()
+            ct = pcache.setdefault(key, {})
+            n_blocks = 0
+            new = nl
+        i_n, t_n, d_n = codec.unpack_blocks(
+            data, n, key[2] * index.shard_size, bl, off,
+            np.asarray(new, np.int64),
+        )
+        o = 0
+        for b_ in new:
+            s_ = min((b_ + 1) * codec.BLOCK, n) - b_ * codec.BLOCK
+            ct[b_] = (i_n[o : o + s_], t_n[o : o + s_], d_n[o : o + s_])
+            o += s_
+        index.__dict__["_partial_decode_blocks"] = n_blocks + len(new)
+    if len(nl) == 1:
+        return ct[nl[0]]
+    return (
+        np.concatenate([ct[b_][0] for b_ in nl]),
+        np.concatenate([ct[b_][1] for b_ in nl]),
+        np.concatenate([ct[b_][2] for b_ in nl]),
+    )
+
+
 def _driver_topk(
     index: BM25Index,
     qrows,
@@ -346,7 +399,9 @@ def _driver_topk(
     allowed_by_pk: dict[str, np.ndarray] | None = None,
 ) -> list[tuple]:
     """Exact top-k on the driver with shard-level block-max pruning.
-    Returns result tuples (query_id, pk, doc_id, score, rank)."""
+    Pruning applies to the FETCH as well as the decode: blobs are pulled in
+    ub-descending geometric waves, so a shard theta rules out never crosses
+    the wire. Returns result tuples (query_id, pk, doc_id, score, rank)."""
     k1, b = index.k1, index.b
     terms_needed = sorted({t for _, t, _ in qrows})
     tmeta = _term_meta(index, terms_needed, partition_keys)
@@ -359,16 +414,12 @@ def _driver_topk(
     for qid, term, qtf in qrows:
         by_query.setdefault(qid, []).append((term, qtf))
 
-    # ONE fetch job for every blob any query in the batch might touch;
-    # pruning below skips the DECODE of ruled-out shards (at cluster scale
-    # the fetch itself is also pruned — that's the cluster path's job)
-    prefetch = {
-        (pk, t, shard)
-        for (pk, t) in tmeta
-        for shard, _, _ in smeta.get((pk, t), ())
-    }
-    if prefetch:
-        _fetch_raw_blobs(index, prefetch)
+    # Blobs are fetched LAZILY in shard-upper-bound order (geometric waves
+    # inside the per-pk loop below): once theta rules a shard out, its blob
+    # is never collected at all — fetch bytes track the WAND frontier, not
+    # Σ df. Warmed indexes (_blobs_complete) skip fetching entirely; blobs
+    # shared across the batch's queries are fetched once (_raw_blob_cache).
+    blobs_complete = bool(index.__dict__.get("_blobs_complete"))
 
     results: list[tuple] = []
     for qid, tq in sorted(by_query.items()):
@@ -425,10 +476,25 @@ def _driver_topk(
             # O(shard_candidates + k) per shard, not a partition over the
             # whole accumulated candidate set every shard
             top_buf = np.empty(0, dtype=np.float64)
-            for shard in order:
+            cache = index.__dict__.setdefault("_raw_blob_cache", {})
+            fetch_hi = 0  # shards order[:fetch_hi] have been ensured
+            for si, shard in enumerate(order):
                 if prune and n_kept >= k_eff and shard_ub[shard] < theta:
                     break
-                cache = index.__dict__.get("_raw_blob_cache", {})
+                if not blobs_complete and si >= fetch_hi:
+                    # geometric fetch wave in ub-descending order: the
+                    # first wave covers enough shards to plausibly fill
+                    # the heap, later waves double — O(log #shards) jobs
+                    # worst case, zero jobs for shards theta prunes
+                    hi = min(len(order), max(si + 1, 2 * fetch_hi, 4))
+                    want = {
+                        (pk, t, s)
+                        for s in order[fetch_hi:hi]
+                        for t, _, _ in shard_terms[s]
+                    }
+                    if any(k not in cache for k in want):
+                        _fetch_raw_blobs(index, want)
+                    fetch_hi = hi
                 entries = []
                 for term, qtf, idf in shard_terms[shard]:
                     raw = cache.get((pk, term, shard))
@@ -467,20 +533,9 @@ def _driver_topk(
                         if len(need) == len(bl):
                             ids, tfs, dls = _decoded(index, (pk, term, shard))
                         else:
-                            pcache = index.__dict__.setdefault(
-                                "_partial_decode_cache", {}
+                            ids, tfs, dls = _decoded_blocks_driver(
+                                index, (pk, term, shard), raw, need
                             )
-                            ck = (pk, term, shard, need.tobytes())
-                            hit = pcache.get(ck)
-                            if hit is None:
-                                if len(pcache) > 65536:
-                                    pcache.clear()
-                                hit = codec.unpack_blocks(
-                                    data, n, shard * index.shard_size, bl,
-                                    off, need,
-                                )
-                                pcache[ck] = hit
-                            ids, tfs, dls = hit
                         seg_id = np.searchsorted(bounds, ids)
                         keep = alive[seg_id]
                         if allowed_by_pk is not None:

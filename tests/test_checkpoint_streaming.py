@@ -141,6 +141,60 @@ def test_merge_indexes_byte_identical_to_full_build(spark):
     assert merged.doclens.count() == full.doclens.count()
 
 
+def test_merge_after_warm_serves_fresh_postings(spark):
+    """Cache-coherence contract (BM25Index.invalidate_caches): warming a
+    segment's driver caches must not leak stale postings/stats into the
+    merged index (a NEW object, fresh caches), and an in-place rebind of
+    ``packed`` followed by invalidate_caches() re-probes everything."""
+    from pyspark.sql import functions as F
+
+    from bm25_spark.operators.docids import assign_doc_ids
+    from bm25_spark.operators.indexer import merge_indexes
+    from bm25_spark.operators.packed import search_packed, warm_query_caches
+
+    df = synthetic_transcripts(spark, n_convs=24, seed=13)
+    with_ids = assign_doc_ids(df)
+    full = build_index(with_ids, id_col="doc_id", shard_size=64)
+    seg_a = build_index(
+        with_ids.filter(F.col("doc_id") < 150), id_col="doc_id",
+        shard_size=64, check_empty=False,
+    )
+    seg_b = build_index(
+        with_ids.filter(F.col("doc_id") >= 150), id_col="doc_id",
+        shard_size=64, check_empty=False,
+    )
+    assert warm_query_caches(seg_a) is True
+
+    def ranked(idx, q):
+        return [
+            (r["doc_id"], round(r["score"], 10))
+            for r in search_packed(idx, [(0, q)], limit=15)
+            .orderBy("rank").collect()
+        ]
+
+    merged = merge_indexes([seg_a, seg_b])
+    for q in ("spark query data", "fox dog", "table join"):
+        got = ranked(merged, q)
+        want = ranked(full, q)
+        assert got == want, q
+        # the merged ranking must differ from the stale segment view for
+        # at least one query below — asserted after the loop
+    assert any(
+        ranked(seg_a, q) != ranked(full, q)
+        for q in ("spark query data", "fox dog", "table join")
+    ), "test corpus split produced identical segment/full rankings"
+
+    # in-place rebind: seg_a's caches are warm; swapping its packed table
+    # for the merged one then invalidating must serve the MERGED postings
+    seg_a.packed = merged.packed
+    seg_a.postings = merged.postings
+    seg_a.stats = merged.stats
+    seg_a.terms = merged.terms
+    seg_a.docs = merged.docs
+    seg_a.invalidate_caches()
+    assert ranked(seg_a, "spark query data") == ranked(full, "spark query data")
+
+
 def test_merge_indexes_partitioned(spark, tmp_path):
     """Segment merge preserves per-pk statistics: merging two doc-range
     segments of a role-partitioned corpus equals the full partitioned

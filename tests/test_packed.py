@@ -263,6 +263,60 @@ def test_block_wand_identical_and_active(spark, monkeypatch):
     idx.packed.unpersist()
 
 
+def test_fetch_pruning_skips_ruled_out_shards(spark, monkeypatch):
+    """Shard-level WAND must prune the blob FETCH, not just the decode:
+    with one shard dominating the upper bounds, later shards' blobs are
+    never collected from the index at all."""
+    import datetime as dt
+
+    from bm25_spark.operators import packed as packed_mod
+
+    # 8 shards of 100 docs. 'needle' appears tf=30 in every doc of shard 0
+    # and tf=1 in exactly one doc of every other shard: shard 0's upper
+    # bound dwarfs the rest, so after scoring it theta beats every other
+    # shard's bound and their blobs must not be fetched.
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    for i in range(800):
+        if i < 100:
+            txt = "needle " * 30 + f"w{i % 7}"
+        elif i % 100 == 50:
+            txt = f"needle w{i % 7}"
+        else:
+            txt = f"hay w{i % 7}"
+        rows.append((f"c{i:05d}", 0, "user", txt, None, t0))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    idx = build_index(df, shard_size=100)
+    idx.packed.persist()
+    idx.packed.count()
+
+    fetched: set = set()
+    real_fetch = packed_mod._fetch_raw_blobs
+
+    def recording(index, wanted):
+        fetched.update(wanted)
+        return real_fetch(index, wanted)
+
+    monkeypatch.setattr(packed_mod, "_fetch_raw_blobs", recording)
+    res = search_packed(idx, [(0, "needle")], limit=5, prune=True)
+    top = [(r["doc_id"], round(r["score"], 10)) for r in res.orderBy("rank").collect()]
+    # snapshot BEFORE the unpruned comparison run (which fetches all)
+    shards_fetched = {s for _, _, s in fetched}
+    unpruned = search_packed(idx, [(0, "needle")], limit=5, prune=False)
+    assert top == [
+        (r["doc_id"], round(r["score"], 10))
+        for r in unpruned.orderBy("rank").collect()
+    ]
+    assert 0 in shards_fetched
+    assert len(shards_fetched) < 8, (
+        "pruned shards were still fetched: %s" % sorted(shards_fetched)
+    )
+    idx.packed.unpersist()
+
+
 def test_packed_batch_and_empty(packed_synth):
     res = search_packed(packed_synth, [(0, "spark"), (1, ""), (2, "zzqq")], limit=5)
     rows = res.collect()
