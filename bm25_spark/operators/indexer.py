@@ -953,33 +953,46 @@ def read_meta(path: str) -> dict | None:
         return None
 
 
-def write_index(index: BM25Index, root: str, mode: str = "overwrite") -> None:
-    """Persist the index star + meta.json. Parquet locally; on a cluster
-    these writers target Iceberg tables partitioned by (pk) [postings
-    additionally bucketed by term] — same layout, swap ``parquet`` for
-    ``saveAsTable``. The postings table is the PACKED form (delta+varint
-    blobs + block-max); readers re-derive the array view lazily. meta.json
-    carries shard_size/k1/b/fields/stopwords so readers cannot silently
-    decode with mismatched parameters."""
+def write_index(
+    index: BM25Index,
+    root: str,
+    mode: str = "overwrite",
+    storage_format: str = "parquet",
+) -> None:
+    """Persist the index star + meta.json under a path root.
+
+    ``storage_format`` is the DataSource name handed to every writer —
+    ``"parquet"`` (default, always available) or ``"iceberg"`` where the
+    Iceberg Spark runtime is on the classpath (path-based HadoopTables);
+    the swap is exactly this one string, verified by
+    tests/test_persistence_cli.py::test_storage_format_dispatch. For
+    catalog-managed Iceberg tables (snapshots, partition evolution, time
+    travel) use write_index_tables/read_index_tables instead. The postings
+    table is the PACKED form (delta+varint blobs + block-max); readers
+    re-derive the array view lazily. meta.json carries shard_size/k1/b/
+    fields/stopwords/storage_format so readers cannot silently decode with
+    mismatched parameters."""
     p = IndexPaths(root)
 
     def w(df, path):
         # hive partitioning treats pk='' (the single-partition sentinel) as
         # NULL on read — only layout by pk for genuinely partitioned indexes
-        wr = df.write.mode(mode)
+        wr = df.write.mode(mode).format(storage_format)
         if index.partitioned:
             wr = wr.partitionBy("pk")
-        wr.parquet(path)
+        wr.save(path)
 
     w(index.docs, p.docs)
     w(index.terms, p.terms)
     w(index.packed if index.packed is not None else index.postings, p.postings)
     if index.doclens is not None:
         w(index.doclens, p.doclens)
-    index.stats.write.mode(mode).parquet(p.stats)
+    index.stats.write.mode(mode).format(storage_format).save(p.stats)
     if _is_local_path(root):
         os.makedirs(root, exist_ok=True)
-    _write_meta(index_meta(index), p.meta)
+    meta = index_meta(index)
+    meta["storage_format"] = storage_format
+    _write_meta(meta, p.meta)
 
 
 def read_index(
@@ -991,11 +1004,15 @@ def read_index(
     stopwords=None,
     partitioned: bool | None = None,
     shard_size: int | None = None,
+    storage_format: str | None = None,
 ) -> BM25Index:
     """Load a persisted index. Parameters default from the root's meta.json
     (the write-side truth); explicit arguments override. shard_size given
     neither way is an error for packed indexes — silently defaulting it
-    would decode corrupt doc_ids."""
+    would decode corrupt doc_ids. ``storage_format`` likewise defaults
+    from meta.json (an index written as Iceberg must not be read as raw
+    parquet — the file layout under an Iceberg table dir is not a plain
+    parquet dataset)."""
     p = IndexPaths(root)
     meta = read_meta(p.meta) or {}
     k1 = k1 if k1 is not None else meta.get("k1", DEFAULT_K1)
@@ -1008,9 +1025,11 @@ def read_index(
         stopwords = meta.get("stopwords")
     if partitioned is None:
         partitioned = bool(meta.get("partitioned", False))
+    if storage_format is None:
+        storage_format = meta.get("storage_format", "parquet")
 
     def rd(path: str) -> DataFrame:
-        df = spark.read.parquet(path)
+        df = spark.read.format(storage_format).load(path)
         if "pk" in df.columns:
             # hive partition discovery can infer numeric pk values as int;
             # every driver-side cache and RESULT_SCHEMA key pk as string
@@ -1047,4 +1066,123 @@ def read_index(
         stopwords=frozenset(stopwords) if stopwords else None,
         partitioned=partitioned,
         shard_size=shard_size,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Catalog-managed persistence (the production Iceberg route)
+# ---------------------------------------------------------------------------
+
+_INDEX_TABLES = ("docs", "terms", "postings", "stats", "doclens", "meta")
+
+
+def write_index_tables(
+    index: BM25Index,
+    prefix: str,
+    storage_format: str = "iceberg",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the index star as CATALOG tables ``<prefix>_docs`` /
+    ``_terms`` / ``_postings`` / ``_stats`` / ``_doclens`` / ``_meta``.
+
+    With an Iceberg catalog configured (``spark.sql.catalog.<cat>`` =
+    ``org.apache.iceberg.spark.SparkCatalog``) and ``prefix`` =
+    ``<cat>.<db>.<name>``, every write lands as an Iceberg table —
+    snapshot lineage, partition evolution, and time travel come from the
+    catalog, not from this code. The identical calls with
+    ``storage_format='parquet'`` against ``spark_catalog`` are what the
+    sandbox (no Iceberg runtime jars) exercises end-to-end in
+    tests/test_persistence_cli.py::test_catalog_table_roundtrip — the
+    production swap is the format string plus the catalog prefix.
+
+    Metadata (shard_size/k1/b/fields/stopwords — decode-critical, see
+    index_meta) is a single-row JSON ``_meta`` table, so the whole index
+    lives in the catalog with no filesystem side-channel."""
+    import json
+
+    def w(df, name):
+        wr = df.write.mode(mode).format(storage_format)
+        if index.partitioned:
+            wr = wr.partitionBy("pk")
+        wr.saveAsTable(name)
+
+    w(index.docs, f"{prefix}_docs")
+    w(index.terms, f"{prefix}_terms")
+    w(
+        index.packed if index.packed is not None else index.postings,
+        f"{prefix}_postings",
+    )
+    if index.doclens is not None:
+        w(index.doclens, f"{prefix}_doclens")
+    index.stats.write.mode(mode).format(storage_format).saveAsTable(
+        f"{prefix}_stats"
+    )
+    meta = index_meta(index)
+    meta["storage_format"] = storage_format
+    index.spark.createDataFrame(
+        [(json.dumps(meta),)], "meta string"
+    ).write.mode(mode).format(storage_format).saveAsTable(f"{prefix}_meta")
+
+
+def read_index_tables(
+    spark: SparkSession,
+    prefix: str,
+    shard_size: int | None = None,
+) -> BM25Index:
+    """Load an index persisted by write_index_tables. All parameters come
+    from the ``<prefix>_meta`` table (the write-side truth); ``shard_size``
+    may be overridden explicitly (decode-critical, same contract as
+    read_index)."""
+    import json
+
+    meta_rows = spark.table(f"{prefix}_meta").collect()
+    if len(meta_rows) != 1:
+        raise ValueError(
+            f"{prefix}_meta: expected exactly one metadata row, got "
+            f"{len(meta_rows)}"
+        )
+    meta = json.loads(meta_rows[0]["meta"])
+
+    def rd(name: str) -> DataFrame:
+        df = spark.table(name)
+        if "pk" in df.columns:
+            df = df.withColumn("pk", F.col("pk").cast("string"))
+        return df
+
+    post = rd(f"{prefix}_postings")
+    packed = post if "data" in post.columns else None
+    if shard_size is None:
+        shard_size = meta.get("shard_size")
+        if shard_size is None and packed is not None:
+            raise ValueError(
+                f"{prefix}: metadata lacks shard_size — refusing to guess "
+                "a decode-critical parameter"
+            )
+        shard_size = shard_size or DEFAULT_SHARD_SIZE
+    doclens = (
+        rd(f"{prefix}_doclens")
+        if spark.catalog.tableExists(f"{prefix}_doclens")
+        else None
+    )
+    stopwords = meta.get("stopwords")
+    return BM25Index(
+        spark=spark,
+        docs=rd(f"{prefix}_docs"),
+        terms=rd(f"{prefix}_terms"),
+        postings=(
+            decoded_postings_view(packed, shard_size)
+            if packed is not None
+            else post
+        ),
+        packed=packed,
+        stats=rd(f"{prefix}_stats"),
+        doclens=doclens,
+        k1=float(meta.get("k1", DEFAULT_K1)),
+        b=float(meta.get("b", DEFAULT_B)),
+        index_fields=tuple(
+            meta.get("index_fields", ("role", "tool", "conv_id"))
+        ),
+        stopwords=frozenset(stopwords) if stopwords else None,
+        partitioned=bool(meta.get("partitioned", False)),
+        shard_size=int(shard_size),
     )
