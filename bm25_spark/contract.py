@@ -985,12 +985,32 @@ SELECT a, b, jaccard FROM (
 
 
 def _training_ops_oracles() -> dict[str, str]:
-    from bm25_spark.operators.textstats import STOPWORDS_EN, _LANG_MARKERS
+    from bm25_spark.operators.textstats import (
+        LANG_MAX_CHARS,
+        LANG_NORM_CLASS,
+        LANG_ORDER,
+        LANG_TRIGRAMS,
+        STOPWORDS_EN,
+    )
 
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
-    markers = {
-        lang: ", ".join(f"'{w}'" for w in ws) for lang, ws in _LANG_MARKERS.items()
-    }
+    # trigram-profile LID mirror, generated from the SAME tables the Spark
+    # operator uses (textstats.LANG_TRIGRAMS/LANG_ORDER): per language an
+    # integer occurrence count via length-difference//3, argmax with the
+    # identical first-in-LANG_ORDER tie-break
+    lang_score_sql = ",\n         ".join(
+        "("
+        + " + ".join(
+            f"(length(s) - length(replace(s, '{tri}', '')))"
+            for tri in LANG_TRIGRAMS[lang]
+        )
+        + f") // 3 AS s_{lang}"
+        for lang in LANG_ORDER
+    )
+    lang_max = "greatest(" + ", ".join(f"s_{L}" for L in LANG_ORDER) + ")"
+    lang_case = "\n            ".join(
+        f"WHEN s_{L} = m THEN '{L}'" for L in LANG_ORDER
+    )
     jacc_tail = f"""
 , sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) sz FROM sh GROUP BY doc_id),
 inter AS (
@@ -1039,23 +1059,24 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
              + (CASE WHEN ml >= 3.0 AND ml <= 10.0 THEN 0.25 ELSE 0.0 END), 4)
          AS quality
 FROM q""",
-        "ts_lang_id": _TOKS_CTE
-        + f"""
-, h AS (
+        "ts_lang_id": f"""
+WITH s AS (
   SELECT doc_id,
-         len(list_filter(toks, x -> list_contains([{markers['en']}], x))) AS en,
-         len(list_filter(toks, x -> list_contains([{markers['es']}], x))) AS es,
-         len(list_filter(toks, x -> list_contains([{markers['de']}], x))) AS de,
-         len(list_filter(toks, x -> list_contains([{markers['fr']}], x))) AS fr
-  FROM t
+         ' ' || regexp_replace(lower(substr(text, 1, {LANG_MAX_CHARS})),
+                               '{LANG_NORM_CLASS}', ' ', 'g') || ' ' AS s
+  FROM documents
+), sc AS (
+  SELECT doc_id,
+         {lang_score_sql}
+  FROM s
+), m AS (
+  SELECT *, {lang_max} AS m FROM sc
 )
 SELECT doc_id,
-       CASE WHEN en > 0 AND en >= greatest(es, de, fr) THEN 'en'
-            WHEN es > 0 AND es >= greatest(de, fr) THEN 'es'
-            WHEN de > 0 AND de >= fr THEN 'de'
-            WHEN fr > 0 THEN 'fr'
-            ELSE 'und' END AS lang_pred
-FROM h""",
+       CASE WHEN m <= 0 THEN 'und'
+            {lang_case}
+            END AS lang_pred
+FROM m""",
         "ts_fingerprint": _TOKS_CTE
         + "SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM t",
         "dd_exact": _TOKS_CTE

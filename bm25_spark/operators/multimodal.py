@@ -62,8 +62,8 @@ def attach_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _decode_stub(blob: bytes) -> np.ndarray:
     """STUB decoder (no media libs in this container): derives a
-    deterministic (h, w, 3) uint8 array from md5(blob). Replace with
-    PIL.Image.open for real images. NOT a real decode."""
+    deterministic (h, w, 3) uint8 array from md5(blob). NOT a real decode —
+    real decoding is the 'pil' backend (get_decoder)."""
     h = hashlib.md5(blob).digest()
     w_px = 4 + h[0] % 13
     h_px = 4 + h[1] % 13
@@ -74,18 +74,64 @@ def _decode_stub(blob: bytes) -> np.ndarray:
     return rng.reshape(h_px, w_px, 3)
 
 
-def decode_images(blobs: DataFrame) -> DataFrame:
+def _decode_pil(blob: bytes) -> np.ndarray:
+    """Real image decode via Pillow -> (h, w, 3) uint8 RGB array."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(blob)) as img:
+        return np.asarray(img.convert("RGB"))
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def get_decoder(backend: str = "auto"):
+    """Image-decode backend dispatch, resolved ON THE EXECUTOR (the
+    returned callable does the import lazily inside the task, so the
+    driver never needs the lib installed):
+
+    - ``'pil'``  — Pillow (real decode); ImportError if absent
+    - ``'stub'`` — deterministic md5-derived fake (always available;
+      what the DuckDB contract oracle mirrors)
+    - ``'auto'`` — 'pil' when importable, else 'stub'
+
+    Decode stages below take ``backend`` and default to 'stub' so results
+    stay deterministic across environments; pass 'auto'/'pil' for real
+    media."""
+    if backend == "auto":
+        backend = "pil" if _pil_available() else "stub"
+    if backend == "pil":
+        if not _pil_available():
+            raise ImportError(
+                "backend='pil' requires Pillow (pip install pillow)"
+            )
+        return _decode_pil
+    if backend == "stub":
+        return _decode_stub
+    raise ValueError(f"unknown decode backend: {backend!r}")
+
+
+def decode_images(blobs: DataFrame, backend: str = "stub") -> DataFrame:
     """(doc_id, byte_len, width, height, channels, mean_pixel): decode +
     feature-extract via mapInPandas — Arrow batches in, Arrow batches out;
-    partitioning preserved (narrow)."""
+    partitioning preserved (narrow). ``backend``: see get_decoder."""
 
     def run(batches):
+        decode = get_decoder(backend)
         for pdf in batches:
             out = {
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "byte_len": pdf["blob"].map(len).astype("int64"),
             }
-            dims = [_decode_stub(bytes(b)) for b in pdf["blob"]]
+            dims = [decode(bytes(b)) for b in pdf["blob"]]
             out["width"] = pd.Series([d.shape[1] for d in dims], dtype="int32")
             out["height"] = pd.Series([d.shape[0] for d in dims], dtype="int32")
             out["channels"] = pd.Series([d.shape[2] for d in dims], dtype="int32")
@@ -97,15 +143,18 @@ def decode_images(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(run, schema=IMAGE_META_SCHEMA)
 
 
-def resize_images(blobs: DataFrame, target: int = 8) -> DataFrame:
-    """(doc_id, blob): 'resize' = decode stub + nearest-neighbor subsample +
-    re-encode (bytes of the resized array). Real impl swaps the stub."""
+def resize_images(
+    blobs: DataFrame, target: int = 8, backend: str = "stub"
+) -> DataFrame:
+    """(doc_id, blob): resize = decode + nearest-neighbor subsample +
+    re-encode (bytes of the resized array). ``backend``: see get_decoder."""
 
     def run(batches):
+        decode = get_decoder(backend)
         for pdf in batches:
             out_blobs = []
             for b in pdf["blob"]:
-                arr = _decode_stub(bytes(b))
+                arr = decode(bytes(b))
                 ys = np.linspace(0, arr.shape[0] - 1, target).astype(int)
                 xs = np.linspace(0, arr.shape[1] - 1, target).astype(int)
                 out_blobs.append(arr[np.ix_(ys, xs)].tobytes())

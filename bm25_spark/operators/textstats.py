@@ -21,12 +21,45 @@ STOPWORDS_EN = (
     "for on with as at by from"
 ).split()
 
-_LANG_MARKERS = {
-    "en": ["the", "and", "is", "of", "to", "in"],
-    "es": ["el", "los", "las", "que", "y", "de"],
-    "de": ["der", "die", "und", "das", "nicht", "ist"],
-    "fr": ["le", "la", "les", "et", "des", "est"],
+# Character-trigram language profiles (leading/trailing space = word
+# boundary; all entries exactly 3 chars). Classic n-gram profile LID
+# (Cavnar & Trenkle-style) reduced to a fixed discriminative set per
+# language so scoring stays a pure string expression: score(L) = total
+# occurrences of L's trigrams in the normalized text. Deterministic,
+# DuckDB-mirrorable (integer counts via length-difference / 3).
+LANG_TRIGRAMS = {
+    "en": [" th", "the", "he ", "and", " an", "nd ", "ing", "ng ",
+           " of", "of ", " to", "to ", "ion", " is", "is ", "ed "],
+    "de": ["der", "die", "und", " un", "ein", "ich", "sch", "cht",
+           "ung", "gen", "den", " zu", "zu ", "eit", "ver", "nen"],
+    "es": ["ión", "ado", "los", " lo", "las", "ció", "ent", "ar ",
+           "era", "nte", " co", "con", "por", " po", "una", "ada",
+           "del", " el", "el "],
+    "fr": ["les", " le", "ent", "que", " qu", "ue ", "ait", "eur",
+           "oir", " pa", "par", "une", "ons", " et", "et ", "ais",
+           "est", "des", "our"],
+    "it": ["che", " ch", "zio", "one", "ità", "gli", " gl", "ell",
+           "lla", "to ", " di", "di ", "per", " pe", "non", "nto"],
+    "nl": ["het", " he", "van", " va", "een", " ee", "ijk", "ij ",
+           "aar", "oor", "rde", "nde", " ve", "aan", "gel", "ord"],
+    "pl": ["nie", " ni", "prz", "rze", " pr", "ego", "ych", "owa",
+           "ani", "cze", "szy", " sz", "ość", "dzi", "wie", "ało"],
+    "pt": ["ção", "ão ", "ade", " co", "do ", " do", "da ", " da",
+           "os ", "par", "uma", "não", " nã", "res", "men", "com"],
+    "ru": ["ого", "его", "ени", "ост", "ств", "ать", "ния", "тся",
+           "ть ", "ый ", "ая ", " пр", "при", " не", "что", " на"],
+    "sv": ["och", " oc", "att", " at", "det", "för", " fö", "är ",
+           " är", "som", " so", "ade", "ett", "rna", "lig", "ska",
+           "den", "en ", "na "],
 }
+# argmax preference order: ties go to the EARLIER language (and the same
+# CASE order is generated for the DuckDB oracle, so both engines break
+# ties identically)
+LANG_ORDER = ("en", "de", "es", "fr", "it", "nl", "pl", "pt", "ru", "sv")
+# normalization shared with the oracle SQL: lowercase, keep latin +
+# latin-1/ext-A accents + cyrillic, collapse everything else to spaces
+LANG_NORM_CLASS = "[^a-zà-ÿа-яё]+"
+LANG_MAX_CHARS = 1000
 
 
 def _tokens_col(text_col: str) -> F.Column:
@@ -83,26 +116,50 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, lang_pred): marker-word language heuristic with fixed
-    tie-break order; 'und' when no markers hit."""
-    toks = _tokens_col(text_col)
+def lang_id(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_chars: int = LANG_MAX_CHARS,
+) -> DataFrame:
+    """(doc_id, lang_pred): character-trigram profile language ID over the
+    LANG_TRIGRAMS languages; 'und' when no profile trigram occurs.
 
-    def contains(arr):
-        return lambda t: F.array_contains(arr, t)
+    100 TB shape: a single NARROW projection — normalize once, then each
+    language's score is a chain of length-difference counts (JVM string
+    ops inside whole-stage codegen). No explode, no join, no shuffle; the
+    text is capped at ``max_chars`` so cost is bounded per row. Tie-break:
+    earliest language in LANG_ORDER (same CASE order as the DuckDB
+    oracle)."""
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(
+            F.lower(F.substring(F.col(text_col), 1, max_chars)),
+            LANG_NORM_CLASS,
+            " ",
+        ),
+        F.lit(" "),
+    )
+    d = docs.select("doc_id", norm.alias("s"))
 
-    hits = {}
-    for lang, markers in _LANG_MARKERS.items():
-        arr = F.array(*[F.lit(m) for m in markers])
-        hits[lang] = F.size(F.filter(toks, contains(arr)))
-    best = F.lit("und")
-    best_n = F.lit(0)
-    # fixed order => deterministic argmax tie-break (first wins)
-    for lang in ["en", "es", "de", "fr"]:
-        cond = hits[lang] > best_n
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_n = F.when(cond, hits[lang]).otherwise(best_n)
-    return docs.select("doc_id", best.alias("lang_pred"))
+    def occurrences(tri: str) -> F.Column:
+        # non-overlapping count, identical semantics in DuckDB's replace()
+        return F.length("s") - F.length(
+            F.replace(F.col("s"), F.lit(tri), F.lit(""))
+        )
+
+    score_cols = []
+    for lang in LANG_ORDER:
+        total = None
+        for tri in LANG_TRIGRAMS[lang]:
+            c = occurrences(tri)
+            total = c if total is None else total + c
+        score_cols.append((total / F.lit(3)).cast("long").alias(f"s_{lang}"))
+    scored = d.select("doc_id", *score_cols)
+    maxs = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_ORDER])
+    pred = F.when(maxs <= 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        pred = pred.when(F.col(f"s_{lang}") == maxs, F.lit(lang))
+    return scored.select("doc_id", pred.alias("lang_pred"))
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -44,6 +44,61 @@ def test_quality_and_langid(docs):
     assert langs[5] == "und"
 
 
+# three labeled sentences per language — deterministic accuracy fixture
+# for the trigram-profile LID (every prediction asserted exactly)
+LID_FIXTURE = [
+    ("en", "the quick brown fox is jumping over the lazy dog of the town"),
+    ("en", "this is an example of a sentence that should be detected"),
+    ("en", "reading and writing data to the table is the main thing"),
+    ("de", "der schnelle braune Fuchs springt über den faulen Hund und weiter"),
+    ("de", "dies ist ein einfaches Beispiel für einen deutschen Satz"),
+    ("de", "die Verarbeitung der Daten erfolgt über eine verteilte Umgebung"),
+    ("es", "el rápido zorro marrón salta por encima del perro perezoso"),
+    ("es", "esta es una oración de ejemplo para la detección del idioma"),
+    ("es", "la información se procesa con una canalización de datos"),
+    ("fr", "le renard brun rapide saute par dessus le chien paresseux"),
+    ("fr", "ceci est une phrase d'exemple pour la détection des langues"),
+    ("fr", "les données sont traitées par une chaîne de traitement"),
+    ("it", "la rapida volpe marrone salta sopra il cane pigro della città"),
+    ("it", "questa è una frase di esempio per il rilevamento della lingua"),
+    ("it", "per la gestione dei dati non serve una configurazione"),
+    ("nl", "de snelle bruine vos springt over de luie hond van het dorp"),
+    ("nl", "dit is een voorbeeldzin voor het herkennen van een taal"),
+    ("nl", "de gegevens worden verwerkt in een gedistribueerde omgeving"),
+    ("pl", "szybki brązowy lis przeskakuje nad leniwym psem w mieście"),
+    ("pl", "to jest przykładowe zdanie do wykrywania języka polskiego"),
+    ("pl", "przetwarzanie danych odbywa się w środowisku rozproszonym"),
+    ("pt", "a rápida raposa marrom salta por cima do cão preguiçoso"),
+    ("pt", "esta é uma frase de exemplo para a detecção do idioma"),
+    ("pt", "a informação é processada com um pipeline de dados não pequeno"),
+    ("ru", "быстрая коричневая лиса прыгает через ленивую собаку на улице"),
+    ("ru", "это пример предложения для определения языка текста"),
+    ("ru", "обработка данных происходит в распределённой среде"),
+    ("sv", "den snabba bruna räven hoppar över den lata hunden i staden"),
+    ("sv", "detta är en exempelmening för att känna igen ett språk"),
+    ("sv", "informationen behandlas i en distribuerad miljö och är snabb"),
+]
+
+
+def test_lang_id_trigram_accuracy(spark):
+    """Trigram-profile LID must classify every labeled fixture sentence
+    correctly (deterministic — exact assertions, not a threshold)."""
+    df = spark.createDataFrame(
+        [(i, lang, text) for i, (lang, text) in enumerate(LID_FIXTURE)],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r["doc_id"]: r["lang_pred"]
+        for r in textstats.lang_id(df).collect()
+    }
+    wrong = [
+        (LID_FIXTURE[i][0], got[i], LID_FIXTURE[i][1])
+        for i in range(len(LID_FIXTURE))
+        if got[i] != LID_FIXTURE[i][0]
+    ]
+    assert not wrong, wrong
+
+
 def test_fingerprint_and_exact_dedup(docs):
     fp = {r["doc_id"]: r["fp"] for r in textstats.fingerprint(docs).collect()}
     assert fp[0] == fp[2]  # case/punct-insensitive
@@ -190,6 +245,59 @@ def test_lsh_topk_recall(emb):
     aset = {(r["query_id"], r["id"]) for r in approx}
     recall = len(bset & aset) / len(bset)
     assert recall >= 0.6, recall  # approximate, deterministic planes
+
+
+@pytest.mark.parametrize(
+    "backend",
+    [
+        "stub",
+        pytest.param(
+            "pil",
+            marks=pytest.mark.skipif(
+                not multimodal._pil_available(), reason="Pillow not installed"
+            ),
+        ),
+    ],
+)
+def test_decode_backend_dispatch(spark, backend):
+    """decode_images with an explicit backend: the stub path always runs;
+    the pil path (real decode) runs where Pillow exists — same plumbing,
+    same schema, decoder swapped via get_decoder."""
+    if backend == "pil":
+        # a real 6x5 RGB PNG, encoded by Pillow itself
+        import io
+
+        from PIL import Image
+
+        arr = np.arange(6 * 5 * 3, dtype=np.uint8).reshape(5, 6, 3)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        payload = buf.getvalue()
+        want_w, want_h, want_mean = 6, 5, round(float(arr.mean()), 4)
+    else:
+        payload = b"not really an image"
+        d = multimodal._decode_stub(payload)
+        want_w, want_h = d.shape[1], d.shape[0]
+        want_mean = round(float(d.mean()), 4)
+    blobs = spark.createDataFrame(
+        [(0, "image", bytearray(payload), "image/png")],
+        multimodal.BLOB_SCHEMA,
+    )
+    row = multimodal.decode_images(blobs, backend=backend).first()
+    assert (row["width"], row["height"]) == (want_w, want_h)
+    assert row["channels"] == 3
+    assert row["mean_pixel"] == want_mean
+    assert row["byte_len"] == len(payload)
+
+
+def test_decoder_dispatch_errors():
+    with pytest.raises(ValueError):
+        multimodal.get_decoder("nope")
+    if not multimodal._pil_available():
+        with pytest.raises(ImportError):
+            multimodal.get_decoder("pil")
+        # auto falls back to the stub when Pillow is absent
+        assert multimodal.get_decoder("auto") is multimodal._decode_stub
 
 
 def test_multimodal_plumbing(docs):
