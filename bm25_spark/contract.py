@@ -455,15 +455,16 @@ def q_fetch_results(spark, sf_dir):
 
 def q_docids(spark, sf_dir):
     """O1: deterministic dense doc_id assignment (docids.assign_doc_ids,
-    the scalable range-partitioned two-pass path) vs a plain row_number
-    oracle. Reorders by (source, orig_id) so the assignment is exercised on
-    a non-trivial ordering, not the identity."""
+    the scalable sampled-boundary path — driver-frozen quantile bounds,
+    no corpus materialization) vs a plain row_number oracle. Reorders by
+    (source, orig_id) so the assignment is exercised on a non-trivial
+    ordering, not the identity."""
     from bm25_spark.operators.docids import assign_doc_ids
 
     d = _read_docs(spark, sf_dir).select(
         F.col("doc_id").alias("orig_id"), "source"
     )
-    out = assign_doc_ids(d, order_cols=("source", "orig_id"), method="range")
+    out = assign_doc_ids(d, order_cols=("source", "orig_id"), method="sample")
     return out.select("orig_id", F.col("doc_id").cast("long").alias("new_id"))
 
 

@@ -151,7 +151,7 @@ def build_index(
     k1: float = DEFAULT_K1,
     b: float = DEFAULT_B,
     shard_size: int = DEFAULT_SHARD_SIZE,
-    docid_method: str = "range",
+    docid_method: str = "sample",
     id_col: str | None = None,
     chunk_postings: int = 1 << 21,
     check_empty: bool = True,

@@ -116,7 +116,7 @@ def checkpointed_build(
         with_ids = assign_doc_ids(
             transcripts,
             order_cols=build_kwargs.pop("order_cols", ("conv_id", "turn_idx")),
-            method=build_kwargs.pop("docid_method", "range"),
+            method=build_kwargs.pop("docid_method", "sample"),
         )
         build_kwargs["id_col"] = "doc_id"
     build_kwargs.pop("order_cols", None)

@@ -64,15 +64,18 @@ def test_golden_end_to_end(golden_index):
 
 def test_docid_assignment_matches_window(spark, synth):
     df, _ = synth
-    a = assign_doc_ids(df, method="range").select("conv_id", "turn_idx", "doc_id")
     b = assign_doc_ids(df, method="window").select("conv_id", "turn_idx", "doc_id")
-    diff = a.join(b, ["conv_id", "turn_idx"]).filter(
-        a["doc_id"] != b["doc_id"]
-    )
-    assert diff.count() == 0
     n = df.count()
-    ids = [r[0] for r in a.select("doc_id").collect()]
-    assert sorted(ids) == list(range(n))
+    for method in ("range", "sample"):
+        a = assign_doc_ids(df, method=method).select(
+            "conv_id", "turn_idx", "doc_id"
+        )
+        diff = a.join(b, ["conv_id", "turn_idx"]).filter(
+            a["doc_id"] != b["doc_id"]
+        )
+        assert diff.count() == 0, method
+        ids = [r[0] for r in a.select("doc_id").collect()]
+        assert sorted(ids) == list(range(n)), method
 
 
 def test_engine_matches_oracle_on_synthetic(synth_index, synth_oracle):
