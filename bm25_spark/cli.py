@@ -71,7 +71,7 @@ def cmd_build(args) -> int:
             id_col=args.id_col,
             order_cols=tuple(args.order_cols.split(",")),
         )
-        write_index(idx, args.root)
+        write_index(idx, args.root, storage_format=args.storage_format)
         summary = {"partitions_total": 1}
     summary["elapsed_sec"] = round(time.perf_counter() - t0, 3)
     print(json.dumps(summary))
@@ -139,6 +139,12 @@ def main(argv=None) -> int:
         "--order-cols",
         default="conv_id,turn_idx",
         help="comma-separated ordering columns for dense doc_id assignment",
+    )
+    b.add_argument(
+        "--storage-format",
+        default="parquet",
+        help="DataSource for index tables (parquet | iceberg); recorded "
+        "in meta.json so `search` reads it back automatically",
     )
     b.add_argument("--checkpointed", action="store_true")
     b.set_defaults(fn=cmd_build)

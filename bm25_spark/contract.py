@@ -629,6 +629,80 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+ANN_IVF_NLIST = 8
+ANN_IVF_NPROBE = 3
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """Approximate ANN (IVF: nearest-centroid cells, nprobe-cell search).
+    Centroids are the nlist corpus vectors with the smallest md5(id) —
+    deterministic, so the DuckDB oracle re-derives the identical centroid
+    set, cell assignment (argmax cosine, ties to the smaller cell) and
+    probe set in SQL; recall vs brute force is additionally asserted in
+    tests."""
+    from bm25_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk(
+        emb,
+        [(0, [float(x) for x in qvec])],
+        k=TOPK,
+        nlist=ANN_IVF_NLIST,
+        nprobe=ANN_IVF_NPROBE,
+    )
+
+
+def _ivf_ann_sql() -> str:
+    """DuckDB transcription of similarity.ivf_topk for query vec_id=0:
+    seeds = nlist vectors by md5(id) order, cells = per-vector argmax
+    cosine over seeds (ties -> smaller cell), probe = nprobe cells nearest
+    the query, then exact cosine top-k over the probed cells only."""
+    sim = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+        "* sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+           FROM embeddings),
+seeds AS (
+  SELECT CAST(row_number()
+              OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+         AS INT) AS cell,
+         e AS c
+  FROM v
+  QUALIFY cell < {ANN_IVF_NLIST}
+),
+assign AS (
+  SELECT v.vec_id, v.e, s.cell,
+         {sim.format(a='v.e', b='s.c')} AS csim
+  FROM v, seeds s
+),
+cells AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY csim DESC, cell ASC) AS rn
+    FROM assign
+  ) WHERE rn = 1
+),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+qprobe AS (
+  SELECT s.cell FROM seeds s, q
+  ORDER BY {sim.format(a='q.qe', b='s.c')} DESC, s.cell ASC
+  LIMIT {ANN_IVF_NPROBE}
+),
+scored AS (
+  SELECT c.vec_id AS id,
+         round({sim.format(a='c.e', b='q.qe')}, 4) AS cosine
+  FROM cells c JOIN qprobe USING (cell), q
+)
+SELECT CAST(0 AS BIGINT) AS query_id, id, cosine,
+       CAST(row_number() OVER (ORDER BY cosine DESC, id ASC) AS BIGINT)
+         AS rank
+FROM scored QUALIFY rank <= {TOPK}
+"""
+
+
 def _lsh_ann_sql() -> str:
     """DuckDB transcription of similarity.lsh_topk for query vec_id=0:
     the same md5-derived hyperplanes are inlined as literals, signatures are
@@ -726,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_emb_neardup": q_emb_neardup,
         "sim_ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "sim_ann_ivf": q_ann_ivf_topk,
         "mm_decode_meta": q_mm_decode_meta,
     }
 
@@ -1121,6 +1196,7 @@ SELECT CAST(0 AS BIGINT) AS query_id, id, cosine,
 FROM scored
 QUALIFY rank <= {TOPK}""",
         "ann_lsh_topk": _lsh_ann_sql(),
+        "sim_ann_ivf": _ivf_ann_sql(),
         "mm_decode_meta": """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

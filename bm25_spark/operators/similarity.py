@@ -3,10 +3,15 @@
 - brute_topk: exact cosine top-k (baseline; broadcast query vectors, one
   pass over the table — the right plan even at 100 TB when k queries are
   few, because the scan is embarrassingly parallel and column-pruned).
-- lsh_buckets / lsh_topk: random-hyperplane LSH — the scale path: bucket
+- lsh_buckets / lsh_topk: random-hyperplane LSH — a scale path: bucket
   the corpus once (b-bit signature), probe only matching buckets (optionally
   multi-probe adjacent buckets). Hyperplanes are md5-derived, so signatures
   are deterministic with no driver-side RNG state.
+- ivf_cells / ivf_topk: inverted-file (IVF) ANN — the other classic scale
+  path: partition the corpus into ``nlist`` cells by nearest centroid,
+  search only the ``nprobe`` cells nearest the query. Centroids are
+  deterministic data samples (md5-of-id order), so the whole pipeline is
+  reproducible and oracle-checkable with no RNG state.
 """
 
 from __future__ import annotations
@@ -96,6 +101,130 @@ def lsh_buckets(
             F.lit(0).cast("long")
         )
     return v.withColumn("bucket", bucket)
+
+
+def ivf_seed_centroids(
+    embeddings: DataFrame,
+    nlist: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """[(cell, centroid)]: the ``nlist`` corpus vectors with the smallest
+    ``md5(cast(id as string))`` (ties by id) serve as cell centroids — a
+    deterministic uniform sample with no RNG state, so an oracle can derive
+    the identical centroid set in SQL. One column-pruned TakeOrdered scan;
+    a one-time index-build cost (Lloyd refinement steps would slot in here
+    — each is one groupBy-avg pass — without changing any consumer)."""
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("h", F.md5(F.col("id").cast("string")))
+        .orderBy("h", "id")
+        .limit(nlist)
+        .collect()
+    )
+    return [(c, [float(x) for x in r["v"]]) for c, r in enumerate(rows)]
+
+
+def _cell_expr(centroids: list[tuple[int, list[float]]]) -> F.Column:
+    """Nearest-centroid cell id (argmax cosine, ties -> smallest cell) as a
+    pure JVM expression over column ``v``/``nrm``: greatest() over
+    (similarity, -cell) structs — struct comparison is lexicographic, so
+    the max struct IS the argmax with the deterministic tie-break. No UDF,
+    no shuffle; whole-stage-codegen-friendly for any small nlist."""
+    structs = []
+    for cell, cv in centroids:
+        arr = F.array(*[F.lit(float(x)) for x in cv])
+        cnrm = sum(x * x for x in cv) ** 0.5
+        dot = F.aggregate(
+            F.zip_with("v", arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sim = dot / (F.col("nrm") * F.lit(cnrm))
+        structs.append(
+            F.struct(sim.alias("s"), F.lit(-cell).alias("negc"))
+        )
+    best = structs[0] if len(structs) == 1 else F.greatest(*structs)
+    return (-best["negc"]).cast("int")
+
+
+def ivf_cells(
+    embeddings: DataFrame,
+    nlist: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """(id, v, nrm, cell): IVF cell assignment — one narrow pass with the
+    centroids inlined as literals (broadcast-free; they ARE the plan). At
+    scale, write this out partitioned/bucketed by ``cell`` so ivf_topk's
+    probe reads only nprobe cells off storage (partition pruning)."""
+    if centroids is None:
+        centroids = ivf_seed_centroids(embeddings, nlist, id_col, vec_col)
+    v = _prep(embeddings, id_col, vec_col)
+    return v.withColumn("cell", _cell_expr(centroids))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vecs: list[tuple[int, list[float]]],
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """(query_id, id, cosine, rank): IVF approximate top-k — score only the
+    rows whose cell is among the ``nprobe`` cells whose centroids are
+    nearest the query (cosine, ties by cell asc). Recall is tunable via
+    nlist/nprobe (validated vs brute_topk in tests); nprobe=nlist is exact.
+    The probe-cell choice runs on the driver over the nlist centroids
+    (tiny); candidate scoring is one cell-pruned scan + broadcast join."""
+    spark = embeddings.sparkSession
+    if centroids is None:
+        centroids = ivf_seed_centroids(embeddings, nlist, id_col, vec_col)
+    cells = ivf_cells(embeddings, nlist, id_col, vec_col, centroids)
+
+    def probe_cells(vec: list[float]) -> list[int]:
+        qn = sum(x * x for x in vec) ** 0.5
+        sims = []
+        for cell, cv in centroids:
+            cn = sum(x * x for x in cv) ** 0.5
+            dot = 0.0
+            for x, y in zip(vec, cv):
+                dot += x * y
+            sims.append((-(dot / (qn * cn)), cell))
+        sims.sort()
+        return [c for _, c in sims[:nprobe]]
+
+    probe_rows = []
+    for qid, vec in query_vecs:
+        fvec = [float(x) for x in vec]
+        for cell in probe_cells(fvec):
+            probe_rows.append((qid, fvec, cell))
+    q = spark.createDataFrame(
+        probe_rows, "query_id long, qv array<double>, cell int"
+    ).withColumn("qnrm", _norm_col("qv"))
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = cells.join(F.broadcast(q), "cell").withColumn(
+        "cosine", F.round(dot / (F.col("nrm") * F.col("qnrm")), 4)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "cosine", "rank")
+    )
 
 
 def lsh_topk(

@@ -236,6 +236,41 @@ def test_brute_topk_matches_numpy(emb):
     assert [(r["id"], r["cosine"]) for r in got] == want
 
 
+def test_ivf_topk_recall_and_exactness(emb):
+    vecs = dict(_vecs())
+    qs = [(i, vecs[i]) for i in (0, 5, 9)]
+    brute = similarity.brute_topk(emb, qs, k=5).collect()
+    bset = {(r["query_id"], r["id"]) for r in brute}
+    # nprobe < nlist: approximate but deterministic
+    approx = similarity.ivf_topk(emb, qs, k=5, nlist=4, nprobe=2).collect()
+    aset = {(r["query_id"], r["id"]) for r in approx}
+    assert len(aset & bset) / len(bset) >= 0.6
+    # every query finds itself (its own cell is always probed)
+    assert {(q, q) for q, _ in qs} <= aset
+    # nprobe == nlist degenerates to exact brute-force
+    exact = similarity.ivf_topk(emb, qs, k=5, nlist=4, nprobe=4).collect()
+    assert {(r["query_id"], r["id"], r["cosine"]) for r in exact} == {
+        (r["query_id"], r["id"], r["cosine"]) for r in brute
+    }
+
+
+def test_ivf_cells_partition_the_corpus(emb):
+    cells = similarity.ivf_cells(emb, nlist=4).collect()
+    assert len(cells) == len(_vecs())  # every vector lands in exactly 1 cell
+    assert {r["cell"] for r in cells} <= set(range(4))
+    # seed selection is md5(id)-ordered, and each seed vector lands in its
+    # own cell (self-cosine 1.0 is maximal; all fixture vectors distinct)
+    import hashlib
+
+    ids = [i for i, _ in _vecs()]
+    expected_seeds = sorted(
+        ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:4]
+    by_id = {r["id"]: r["cell"] for r in cells}
+    for cell, sid in enumerate(expected_seeds):
+        assert by_id[sid] == cell
+
+
 def test_lsh_topk_recall(emb):
     vecs = dict(_vecs())
     qs = [(i, vecs[i]) for i in (0, 5, 9)]
