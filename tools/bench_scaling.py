@@ -3,13 +3,14 @@ criterion (N vs 4N executors, target efficiency >= 0.8).
 
 No real cluster exists in this sandbox, so the SAME job (bench.py: amplified
 sf0.1 corpus -> full index build + query suite) runs at two local
-parallelism levels — local[8] and local[32], with shuffle partitions scaled
-to the core count — in fresh subprocesses (fresh JVMs, no cache reuse).
-Efficiency = (throughput_32 / throughput_8) / 4.
+parallelism levels — with shuffle partitions scaled to the core count — in
+fresh subprocesses (fresh JVMs, no cache reuse).
+Efficiency = (throughput_4N / throughput_N) / 4.
 
-Each level runs ``--repeats`` times; the best run per level is kept (the
-sandbox VM shows multi-second scheduling noise; best-of isolates the
-machine's capability, which is what a scaling ratio should compare).
+Measurement design: ``--repeats`` PAIRED rounds, each running both levels
+back-to-back with alternating order; the reported efficiency is the median
+of the per-round ratios (see run_rounds for why pairing is the
+drift-robust estimator on this host).
 
 Writes BENCH_SCALING.json and rewrites the measurement section of BENCH.md.
 
@@ -44,22 +45,129 @@ def run_once(cores: int, amplify: int) -> dict:
     return json.loads(line)
 
 
-def run_levels(levels: list[int], amplify: int, repeats: int) -> dict[int, dict]:
-    """INTERLEAVED repeats (lo, hi, lo, hi, ...) so slow host drift — this
-    VM's sustained throughput wanders 2x over minutes — hits every level
-    equally; best run per level is kept (best-of isolates the machine's
-    deliverable capability, which is what a scaling ratio compares)."""
-    samples: dict[int, list[dict]] = {c: [] for c in levels}
-    for _ in range(repeats):
-        for c in levels:
-            samples[c].append(run_once(c, amplify))
-    out = {}
-    for c, runs in samples.items():
-        runs.sort(key=lambda r: r["queries"]["index_build"])
-        best = runs[0]
-        best["all_build_secs"] = [r["queries"]["index_build"] for r in runs]
-        out[c] = best
-    return out
+def run_rounds(
+    lo: int, hi: int, amplify: int, repeats: int, extra: int | None
+) -> tuple[list[dict], list[dict]]:
+    """PAIRED-round design: each round runs BOTH levels back-to-back, with
+    the order alternating round to round. This VM's sustained throughput
+    drifts ~2x over minutes (both levels' build times degrade monotonically
+    across any long session), so an unpaired best-per-level estimator can
+    pair a lucky window at one level with an unlucky one at the other and
+    report an arbitrary ratio in either direction. Within one round the two
+    runs share the host's condition, so the PER-ROUND ratio cancels the
+    drift (the paired-measurement design); the order alternation cancels
+    any systematic first-vs-second position effect. The reported
+    efficiency is the MEDIAN of the per-round ratios."""
+    import time as _time
+
+    cooldown = int(os.environ.get("BM25_SCALING_COOLDOWN_SEC", "30"))
+    rounds: list[dict] = []
+    for r in range(repeats):
+        order = [lo, hi] if r % 2 == 0 else [hi, lo]
+        got: dict[int, dict] = {}
+        for c in order:
+            if rounds or got:
+                _time.sleep(cooldown)  # let the host settle between runs
+            got[c] = run_once(c, amplify)
+        rounds.append(got)
+    # the extra (ceiling-documentation) level runs AFTER all paired rounds:
+    # a 32-worker thrash between rounds measurably poisons the next
+    # round's single-threaded run on this host
+    extra_runs: list[dict] = []
+    if extra:
+        _time.sleep(cooldown)
+        extra_runs.append(run_once(extra, amplify))
+    return rounds, extra_runs
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def render(result: dict) -> None:
+    """Rewrite BENCH.md from a BENCH_SCALING.json-shaped dict."""
+    lo, hi = sorted(
+        int(k) for k in result["build_throughput_turns_per_sec"]
+    )
+    per_round = result["rounds"]
+    repeats = len(per_round)
+    r_lo = result["representative_round"][str(lo)]
+    r_hi = result["representative_round"][str(hi)]
+    amplify = r_lo["amplify"]
+    tp_lo, tp_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
+    q_lo = r_lo["queries"]["q_batch20"]
+    q_hi = r_hi["queries"]["q_batch20"]
+    build_eff = result["build_scaling_efficiency"]
+    query_speedup = result["query_batch_speedup"]
+    r_extra = result.get("extra_level")
+
+    extra_md = ""
+    if r_extra is not None:
+        xc = r_extra["cores"]
+        extra_md = f"""
+## Beyond the host ceiling: local[{xc}]
+
+For completeness, the same job at local[{xc}]:
+index build {r_extra["index_build_sec"]}s,
+{r_extra["turns_per_sec"]:,.0f} turns/s. Two no-Spark host calibrations
+bound what ANY job can scale to on this box: pure-CPU busy-loops
+(`tools/host_calibration.py`) deliver only ~19x aggregate throughput at
+32 workers, and streaming-memory work (`tools/bandwidth_calibration.py`,
+the shape of the build's tokenize+pack map stage) peaks at ~8-11x
+aggregate around 8-16 workers and collapses under 32-way
+oversubscription — the memory controllers saturate long before the
+cores do. A single box therefore cannot exhibit 4x scaling into 32
+nominal cores, which is why the N->4N evidence uses {lo}->{hi}, where
+both calibrations show real headroom. On an actual 4N-executor cluster
+the same plan adds nodes — and with them memory bandwidth — not
+oversubscribed threads: every build stage is either narrow
+(tokenize+pack map) or hash-partitioned on (pk, term, shard) with no
+serial section, so the {lo}->{hi} measurement is the representative one.
+"""
+
+    md = f"""# BENCH — scaling-efficiency evidence (N -> 4N)
+
+The north rule requires >= 0.8 throughput scaling efficiency between N and
+4N executors. No real cluster exists in this sandbox; per the driver
+instructions this is evidenced by the identical job at two local
+parallelism levels (see `tools/bench_scaling.py`; raw JSON in
+`BENCH_SCALING.json`).
+
+Representative round (the one realizing the median efficiency):
+
+| | local[{lo}] (N) | local[{hi}] (4N) |
+|---|---|---|
+| corpus | {r_lo["n_docs"]:,} docs (sf0.1 x{amplify}) | same input |
+| index build (s) | {r_lo["queries"]["index_build"]} | {r_hi["queries"]["index_build"]} |
+| build throughput (turns/s) | {tp_lo:,.0f} | {tp_hi:,.0f} |
+| 20-query batch (s) | {q_lo} | {q_hi} |
+| shuffle partitions | {lo} | {hi} |
+
+**Build scaling efficiency = median over {repeats} paired rounds of
+(tp_4N / tp_N) / 4 = {build_eff:.3f}** (target >= 0.8:
+{"PASS" if build_eff >= 0.8 else "FAIL"}).
+Query batch speedup {lo}->{hi} cores (median of rounds):
+{query_speedup:.2f}x.
+
+Per-round detail (build s at N / at 4N -> efficiency):
+{chr(10).join(
+    f"- round {i}: {r['build_sec'][str(lo)]} / {r['build_sec'][str(hi)]}"
+    f" -> {r['build_eff']}"
+    for i, r in enumerate(per_round, 1)
+)}
+
+Config per level: `local[N]`, `spark.sql.shuffle.partitions = N`,
+AQE on, 16g driver heap, fresh JVM per run. Measurement design: each
+round runs BOTH levels back-to-back with alternating order; this VM's
+sustained throughput drifts ~2x over minutes, so the PER-ROUND ratio
+(paired under the same host condition) is the drift-robust estimator —
+an unpaired best-per-level comparison can pair a fast window at one
+level with a slow one at the other and swing the ratio either way.
+{extra_md}"""
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(md)
 
 
 def main() -> int:
@@ -75,24 +183,67 @@ def main() -> int:
         "physically measurable below that ceiling.",
     )
     ap.add_argument("--extra-level", type=int, default=32)
+    ap.add_argument(
+        "--render-only",
+        action="store_true",
+        help="rewrite BENCH.md from the existing BENCH_SCALING.json "
+        "without running any benchmark",
+    )
     args = ap.parse_args()
+    if args.render_only:
+        with open(os.path.join(REPO, "BENCH_SCALING.json")) as f:
+            render(json.load(f))
+        return 0
     lo, hi = (int(x) for x in args.levels.split(","))
 
-    levels = [lo, hi]
-    if args.extra_level and args.extra_level != hi:
-        levels.append(args.extra_level)
-    res = run_levels(levels, args.amplify, args.repeats)
-    r_lo, r_hi = res[lo], res[hi]
-    r_extra = res.get(args.extra_level) if args.extra_level != hi else None
+    extra = (
+        args.extra_level
+        if args.extra_level and args.extra_level != hi
+        else None
+    )
+    rounds, extra_runs = run_rounds(
+        lo, hi, args.amplify, args.repeats, extra
+    )
 
+    per_round = []
+    for got in rounds:
+        tp_l, tp_h = got[lo]["turns_per_sec"], got[hi]["turns_per_sec"]
+        per_round.append(
+            {
+                "build_sec": {
+                    str(lo): got[lo]["queries"]["index_build"],
+                    str(hi): got[hi]["queries"]["index_build"],
+                },
+                "turns_per_sec": {str(lo): tp_l, str(hi): tp_h},
+                "build_eff": round((tp_h / tp_l) / (hi / lo), 3),
+                "q_batch20_sec": {
+                    str(lo): got[lo]["queries"]["q_batch20"],
+                    str(hi): got[hi]["queries"]["q_batch20"],
+                },
+                "q_batch_speedup": round(
+                    got[lo]["queries"]["q_batch20"]
+                    / got[hi]["queries"]["q_batch20"],
+                    2,
+                ),
+            }
+        )
+    build_eff = _median([r["build_eff"] for r in per_round])
+    query_speedup = _median([r["q_batch_speedup"] for r in per_round])
+    # the representative round = the one realizing the median efficiency
+    rep = min(per_round, key=lambda r: abs(r["build_eff"] - build_eff))
+    r_lo = next(
+        g[lo] for g, r in zip(rounds, per_round) if r is rep
+    )
+    r_hi = next(
+        g[hi] for g, r in zip(rounds, per_round) if r is rep
+    )
     tp_lo, tp_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
-    build_eff = (tp_hi / tp_lo) / (hi / lo)
     q_lo = r_lo["queries"]["q_batch20"]
     q_hi = r_hi["queries"]["q_batch20"]
-    query_speedup = q_lo / q_hi
 
     result = {
-        "levels": {str(lo): r_lo, str(hi): r_hi},
+        "rounds": per_round,
+        "representative_round": {str(lo): r_lo, str(hi): r_hi},
         "build_throughput_turns_per_sec": {str(lo): tp_lo, str(hi): tp_hi},
         "build_scaling_efficiency": round(build_eff, 3),
         "query_batch20_sec": {str(lo): q_lo, str(hi): q_hi},
@@ -102,14 +253,21 @@ def main() -> int:
         "method": (
             f"identical bench.py job (sf0.1 x{args.amplify} amplified corpus) "
             f"at local[{lo}] and local[{hi}], shuffle partitions = cores, "
-            f"fresh JVM per run, best of {args.repeats} runs per level"
+            f"fresh JVM per run; {args.repeats} PAIRED rounds (both levels "
+            "back-to-back per round, order alternating) — efficiency = "
+            "median of per-round ratios, cancelling the host's minute-scale "
+            "throughput drift that an unpaired best-of estimator is exposed "
+            "to"
         ),
     }
-    if r_extra is not None:
+    if extra_runs:
+        best_extra = min(
+            extra_runs, key=lambda r: r["queries"]["index_build"]
+        )
         result["extra_level"] = {
             "cores": args.extra_level,
-            "index_build_sec": r_extra["queries"]["index_build"],
-            "turns_per_sec": r_extra["turns_per_sec"],
+            "index_build_sec": best_extra["queries"]["index_build"],
+            "turns_per_sec": best_extra["turns_per_sec"],
             "note": (
                 "beyond the host's effective-parallelism ceiling; "
                 "reported for completeness, not part of the N->4N claim"
@@ -117,51 +275,7 @@ def main() -> int:
         }
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
         json.dump(result, f, indent=2)
-
-    extra_md = ""
-    if r_extra is not None:
-        extra_md = f"""
-## Beyond the host ceiling: local[{args.extra_level}]
-
-For completeness, the same job at local[{args.extra_level}]:
-index build {r_extra["queries"]["index_build"]}s,
-{r_extra["turns_per_sec"]:,.0f} turns/s. A pure-CPU calibration
-(ProcessPoolExecutor busy-loops, no Spark) shows this VM delivers only
-~19x aggregate throughput at 32 workers — a JVM + 32 Python workers
-job cannot exhibit 4x scaling from 8 to 32 nominal cores on this host,
-which is why the N->4N evidence uses {lo}->{hi} where CPU headroom is
-real. On an actual 4N-executor cluster the same plan adds executors,
-not oversubscribed threads: every build stage is either narrow
-(tokenize+pack map) or hash-partitioned on (pk, term, shard) with no
-serial section, so the {lo}->{hi} measurement is the representative one.
-"""
-
-    md = f"""# BENCH — scaling-efficiency evidence (N -> 4N)
-
-The north rule requires >= 0.8 throughput scaling efficiency between N and
-4N executors. No real cluster exists in this sandbox; per the driver
-instructions this is evidenced by the identical job at two local
-parallelism levels (see `tools/bench_scaling.py`; raw JSON in
-`BENCH_SCALING.json`).
-
-| | local[{lo}] (N) | local[{hi}] (4N) |
-|---|---|---|
-| corpus | {r_lo["n_docs"]:,} docs (sf0.1 x{args.amplify}) | same input |
-| index build (s) | {r_lo["queries"]["index_build"]} | {r_hi["queries"]["index_build"]} |
-| build throughput (turns/s) | {tp_lo:,.0f} | {tp_hi:,.0f} |
-| 20-query batch (s) | {q_lo} | {q_hi} |
-| shuffle partitions | {lo} | {hi} |
-
-**Build scaling efficiency = (tp_4N / tp_N) / 4 = {build_eff:.3f}**
-(target >= 0.8: {"PASS" if build_eff >= 0.8 else "FAIL"}).
-Query batch speedup {lo}->{hi} cores: {query_speedup:.2f}x.
-
-Config per level: `local[N]`, `spark.sql.shuffle.partitions = N`,
-AQE on, 16g driver heap, fresh JVM per run, best of {args.repeats} runs
-(the sandbox VM shows multi-second scheduler noise between runs).
-{extra_md}"""
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
+    render(result)
     print(json.dumps({k: v for k, v in result.items() if k != "levels"}))
     return 0
 
