@@ -764,6 +764,57 @@ def q_mm_decode_meta(spark, sf_dir):
     )
 
 
+def q_mm_resize(spark, sf_dir):
+    """Resize = stub-decode + nearest-neighbor 8x8 subsample. The contract
+    row carries (out_len, sum of pixel-byte values) rather than the raw
+    blob: the harness stringifies object columns, and Spark bytearray /
+    DuckDB bytes render differently — a numeric checksum is representation-
+    neutral while still pinning every selected byte (the oracle re-derives
+    the md5-generated pixels AND numpy's linspace index arithmetic in
+    SQL)."""
+    from bm25_spark.operators.multimodal import attach_blobs, resize_images
+
+    resized = resize_images(attach_blobs(_read_docs(spark, sf_dir)))
+
+    def checksum(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            arrs = [np.frombuffer(bytes(b), dtype=np.uint8) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "out_len": pd.Series([a.size for a in arrs], dtype="int64"),
+                    "sum_bytes": pd.Series(
+                        [int(a.astype("int64").sum()) for a in arrs],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    return resized.mapInPandas(
+        checksum,
+        schema="doc_id long, out_len long, sum_bytes long",
+    )
+
+
+def q_mm_frames(spark, sf_dir):
+    """Frame sampling: blob split into 4 deterministic chunks. Frames are
+    identified by (byte length, md5) — the corpus is ASCII so DuckDB's
+    char-level substr is byte-accurate and VARCHAR md5 equals the frame
+    bytes' md5."""
+    from bm25_spark.operators.multimodal import attach_blobs, sample_frames
+
+    frames = sample_frames(attach_blobs(_read_docs(spark, sf_dir)))
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.length("frame").cast("long").alias("frame_len"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_tokenize": q_tokenize,
@@ -802,6 +853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "sim_ann_ivf": q_ann_ivf_topk,
         "mm_decode_meta": q_mm_decode_meta,
+        "mm_resize": q_mm_resize,
+        "mm_frames": q_mm_frames,
     }
 
 
@@ -1205,4 +1258,60 @@ SELECT doc_id,
        CAST(4 + (('0x' || substr(md5(text), 3, 2))::BIGINT % 13) AS BIGINT)
          AS height
 FROM documents""",
+        # resize = stub-decode (pixels from repeated md5(blob||'px') bytes)
+        # + numpy-linspace 8x8 nearest-neighbor subsample; the SQL re-derives
+        # BOTH: pixel k of the fake image is hex pair (k mod 16) of
+        # md5(text||'px'), and linspace index i of n is trunc(i*(n-1)/7.0)
+        # in f64 (numpy computes the same product; the endpoint is pinned
+        # exactly as numpy pins y[-1] = stop)
+        "mm_resize": """
+WITH dims AS (
+  SELECT doc_id,
+         4 + (('0x' || substr(md5(text), 1, 2))::BIGINT % 13) AS w,
+         4 + (('0x' || substr(md5(text), 3, 2))::BIGINT % 13) AS h,
+         md5(text || 'px') AS rng_hex
+  FROM documents
+),
+idx AS (SELECT unnest(range(8)) AS i),
+sel AS (
+  SELECT d.doc_id, d.w, d.rng_hex,
+         CASE WHEN r.i = 7 THEN d.h - 1
+              ELSE CAST(trunc(CAST(r.i AS DOUBLE) * ((d.h - 1) / 7.0))
+                        AS BIGINT) END AS y,
+         CASE WHEN c.i = 7 THEN d.w - 1
+              ELSE CAST(trunc(CAST(c.i AS DOUBLE) * ((d.w - 1) / 7.0))
+                        AS BIGINT) END AS x
+  FROM dims d, idx r, idx c
+),
+px AS (
+  SELECT doc_id,
+         ('0x' || substr(rng_hex,
+                         (((y * w + x) * 3 + ch.i) % 16) * 2 + 1, 2))::BIGINT
+           AS byteval
+  FROM sel, (SELECT unnest(range(3)) AS i) ch
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS out_len,
+       CAST(sum(byteval) AS BIGINT) AS sum_bytes
+FROM px GROUP BY doc_id""",
+        # frames: byte-chunk i of 4, step = max(1, len/4); the test corpus
+        # is ASCII (octet_length == length for every sf dir), so char-level
+        # substr is byte-accurate and VARCHAR md5 = md5 of the frame bytes;
+        # past-the-end slices are '' on both sides
+        "mm_frames": """
+WITH f AS (
+  SELECT doc_id, text,
+         greatest(1, length(text) // 4) AS step,
+         unnest(range(4)) AS frame_idx
+  FROM documents
+),
+sliced AS (
+  SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         substr(text, CAST(frame_idx * step + 1 AS BIGINT),
+                CAST(step AS BIGINT)) AS frame
+  FROM f
+)
+SELECT doc_id, frame_idx,
+       CAST(length(frame) AS BIGINT) AS frame_len,
+       md5(frame) AS frame_md5
+FROM sliced""",
     }

@@ -335,7 +335,7 @@ def _pack_pipeline(
     import pyarrow as pa
 
     from bm25_spark.functions import codec
-    from bm25_spark.functions.analyzer import doc_tokens
+    from bm25_spark.functions.analyzer import _ASCII_TBL, tokenize_text
 
     stop = frozenset(stopwords) if stopwords else None
     stop_b = (
@@ -348,8 +348,6 @@ def _pack_pipeline(
     # per (pk, term, shard) from the same task
 
     def partial_pack(batches):
-        from array import array
-
         import pandas as _pd
 
         term_code: dict = {}  # keyed by bytes (ascii path) or str (unicode)
@@ -367,17 +365,18 @@ def _pack_pipeline(
         # per-pk (doc_id, dl) pairs for EVERY doc seen (incl. dl=0), packed
         # into varint sentinel rows — the docs table's dl and the doclens
         # view derive from this same single tokenize pass (the reference
-        # tokenizes once too, bm25.dart:148-156)
-        dl_ids: dict[str, array] = {}
-        dl_vals: dict[str, array] = {}
+        # tokenizes once too, bm25.dart:148-156). Accumulated as lists of
+        # per-slice numpy arrays (no per-doc Python appends).
+        dl_ids: dict[str, list] = {}
+        dl_vals: dict[str, list] = {}
 
         def flush_dl():
             if not dl_ids:
                 return None
             pks_o, ns_o, datas_o = [], [], []
             for pk in sorted(dl_ids):
-                ids = np.frombuffer(dl_ids[pk], dtype=np.int64)
-                vals = np.frombuffer(dl_vals[pk], dtype=np.int64)
+                ids = np.concatenate(dl_ids[pk]).astype(np.int64)
+                vals = np.concatenate(dl_vals[pk]).astype(np.int64)
                 order = np.argsort(ids, kind="stable")
                 ids_s, vals_s = ids[order], vals[order]
                 inter = np.empty(2 * len(ids_s), dtype=np.uint64)
@@ -437,53 +436,103 @@ def _pack_pipeline(
             )
 
         def process_slice(texts_s, ids_s, pks_s):
-            """Tokenize + count one row-slice, fully vectorized past the
-            tokenizer: per-token work is pandas.factorize (C hashing) and a
-            combined-key np.unique for (doc, term) -> tf; per-UNIQUE-term
-            work is the only Python dict traffic."""
+            """Tokenize + count one row-slice with NO per-doc (let alone
+            per-token) Python in the ASCII path: every doc's bytes are
+            translated (C) and joined into ONE buffer with a ``\\x01``
+            doc separator — impossible in post-translate text, which is
+            [a-z0-9_ ] only — so one ``split()`` yields the whole slice's
+            tokens, one ``pandas.factorize`` codes them, and the min-length
+            / stopword filter applies per UNIQUE term (vocab-sized), not
+            per token. dl = post-filter token count per doc
+            (bm25.dart:427) via one bincount. Non-ASCII docs join as empty
+            strings (keeping separator alignment) and take the exact
+            Unicode regex path individually — their tokens merge into the
+            same (doc, term) count."""
             nonlocal acc_n
-            toks_l = [doc_tokens(t, stop, stop_b) for t in texts_s]
-            lens = np.fromiter(
-                (len(x) for x in toks_l), np.int64, count=len(toks_l)
+            n_rows = len(texts_s)
+
+            enc = []
+            tok_nonascii: dict[int, list] = {}
+            for i, t in enumerate(texts_s):
+                if not t:
+                    enc.append(b"")
+                elif t.isascii():
+                    enc.append(t.encode().translate(_ASCII_TBL))
+                else:
+                    enc.append(b"")
+                    tok_nonascii[i] = tokenize_text(t, stop)
+            raw = b" \x01 ".join(enc).split()
+            flat = np.empty(len(raw), dtype=object)
+            flat[:] = raw
+            codes_local, uniq = _pd.factorize(flat, sort=False)
+
+            # per-UNIQUE-term: drop separators / 1-char / stopwords, map
+            # survivors to global term codes (the only Python dict traffic)
+            lut = np.empty(len(uniq), dtype=np.int64)
+            keepu = np.empty(len(uniq), dtype=bool)
+            for j, term in enumerate(uniq):
+                if len(term) < 2 or (stop_b and term in stop_b):
+                    keepu[j] = False
+                    lut[j] = -1
+                    continue
+                keepu[j] = True
+                tc = term_code.get(term)
+                if tc is None:
+                    tc = term_code[term] = len(vocab)
+                    vocab.append(term.decode())
+                lut[j] = tc
+            is_sep = flat == b"\x01"
+            # token at position p belongs to doc = #separators before p
+            # (inclusive cumsum equals the exclusive count at non-sep
+            # positions; separator positions are dropped by keepu)
+            doc_idx_all = np.cumsum(is_sep)
+            keep = keepu[codes_local]
+            d_loc_tok = doc_idx_all[keep]
+            g = lut[codes_local[keep]]
+
+            if tok_nonascii:
+                extra_doc, extra_code = [], []
+                for i, tl in tok_nonascii.items():
+                    for tkn in tl:
+                        tc = term_code.get(tkn)
+                        if tc is None:
+                            tc = term_code[tkn] = len(vocab)
+                            vocab.append(tkn)
+                        extra_code.append(tc)
+                        extra_doc.append(i)
+                d_loc_tok = np.concatenate(
+                    [d_loc_tok, np.asarray(extra_doc, np.int64)]
+                )
+                g = np.concatenate([g, np.asarray(extra_code, np.int64)])
+
+            lens = np.bincount(d_loc_tok, minlength=n_rows).astype(np.int64)
+
+            # per-pk doc stats + (doc_id, dl) sentinel arrays, grouped by
+            # the slice's UNIQUE pks (one boolean pass per pk value)
+            pk_codes_local, pk_uniq = _pd.factorize(
+                np.asarray(pks_s, dtype=object), sort=False
             )
-            pkcs_doc = np.empty(len(pks_s), dtype=np.int64)
-            for i, pk in enumerate(pks_s):
-                pk_ndocs[pk] = pk_ndocs.get(pk, 0) + 1
-                pk_sumdl[pk] = pk_sumdl.get(pk, 0) + int(lens[i])
+            pk_lut = np.empty(len(pk_uniq), dtype=np.int64)
+            for j, pk in enumerate(pk_uniq):
+                sel = pk_codes_local == j
+                pk_ndocs[pk] = pk_ndocs.get(pk, 0) + int(sel.sum())
+                pk_sumdl[pk] = pk_sumdl.get(pk, 0) + int(lens[sel].sum())
                 if pk not in dl_ids:
-                    dl_ids[pk] = array("q")
-                    dl_vals[pk] = array("q")
-                dl_ids[pk].append(int(ids_s[i]))
-                dl_vals[pk].append(int(lens[i]))
+                    dl_ids[pk] = []
+                    dl_vals[pk] = []
+                dl_ids[pk].append(ids_s[sel])
+                dl_vals[pk].append(lens[sel])
                 pc_ = pk_code.get(pk)
                 if pc_ is None:
                     pc_ = pk_code[pk] = len(pk_vals)
                     pk_vals.append(pk)
-                pkcs_doc[i] = pc_
-            total = int(lens.sum())
-            if total == 0:
+                pk_lut[j] = pc_
+            pkcs_doc = pk_lut[pk_codes_local]
+
+            if len(g) == 0:
                 return
-            flat = np.empty(total, dtype=object)
-            pos = 0
-            for tl in toks_l:
-                flat[pos : pos + len(tl)] = tl
-                pos += len(tl)
-            codes_local, uniq = _pd.factorize(flat, sort=False)
-            lut = np.empty(len(uniq), dtype=np.int64)
-            for j, term in enumerate(uniq):
-                tc = term_code.get(term)
-                if tc is None:
-                    tc = term_code[term] = len(vocab)
-                    vocab.append(
-                        term.decode() if type(term) is bytes else term
-                    )
-                lut[j] = tc
-            g = lut[codes_local]
-            doc_idx = np.repeat(
-                np.arange(len(toks_l), dtype=np.int64), lens
-            )
             v_sz = np.int64(len(vocab))
-            uk, tf = np.unique(doc_idx * v_sz + g, return_counts=True)
+            uk, tf = np.unique(d_loc_tok * v_sz + g, return_counts=True)
             d_loc = uk // v_sz
             acc.append(
                 (

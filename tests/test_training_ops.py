@@ -345,6 +345,22 @@ def test_multimodal_plumbing(docs):
     assert meta[3]["mean_pixel"] == meta[4]["mean_pixel"]
     resized = multimodal.resize_images(blobs, target=4).collect()
     assert all(len(r["blob"]) == 4 * 4 * 3 for r in resized)
+    # byte-exact resize semantics: stub decode + numpy-linspace
+    # nearest-neighbor subsample (what the mm_resize oracle re-derives)
+    arr = multimodal._decode_stub(CORPUS[0][1].encode())
+    ys = np.linspace(0, arr.shape[0] - 1, 4).astype(int)
+    xs = np.linspace(0, arr.shape[1] - 1, 4).astype(int)
+    got = {r["doc_id"]: bytes(r["blob"]) for r in resized}
+    assert got[0] == arr[np.ix_(ys, xs)].tobytes()
     frames = multimodal.sample_frames(blobs, n_frames=3)
     assert frames.count() == len(CORPUS) * 3
     assert frames.schema == multimodal.FRAME_SCHEMA
+    # byte-exact chunking: frame i = raw[i*step:(i+1)*step], step=len//3
+    raw = CORPUS[0][1].encode()
+    step = max(1, len(raw) // 3)
+    fr = {
+        (r["doc_id"], r["frame_idx"]): bytes(r["frame"])
+        for r in frames.collect()
+    }
+    assert fr[(0, 1)] == raw[step : 2 * step]
+    assert fr[(0, 2)] == raw[2 * step : 3 * step]
