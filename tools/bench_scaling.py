@@ -103,6 +103,24 @@ def render(result: dict) -> None:
     query_speedup = result["query_batch_speedup"]
     r_extra = result.get("extra_level")
 
+    cal_md = ""
+    cals = result.get("host_calibrations")
+    if cals:
+        last = cals[-1]
+        cal_md = f"""
+The measurement is additionally gated on a QUIET WINDOW: before the
+paired rounds start, the build's actual map computation (translate+join+
+split tokenize, factorize, per-unique filter, np.unique TF — the same
+code path, real corpus data, NO Spark) must scale at >= the gate across
+1 -> 4 processes (`tools/workload_calibration.py`). This shared VM's
+deliverable 4-way scaling for that raw computation wanders roughly
+0.6-0.95 with other tenants' load; a box delivering 0.8 for the bare
+computation cannot evidence a 0.8 job measurement no matter the plan.
+Calibration at measurement time: host 4-way efficiency
+{last["host_eff_4way"]} ({len(cals)} attempt(s) logged in
+BENCH_SCALING.json `host_calibrations`).
+"""
+
     extra_md = ""
     if r_extra is not None:
         xc = r_extra["cores"]
@@ -165,7 +183,7 @@ sustained throughput drifts ~2x over minutes, so the PER-ROUND ratio
 (paired under the same host condition) is the drift-robust estimator —
 an unpaired best-per-level comparison can pair a fast window at one
 level with a slow one at the other and swing the ratio either way.
-{extra_md}"""
+{cal_md}{extra_md}"""
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
 
@@ -189,12 +207,60 @@ def main() -> int:
         help="rewrite BENCH.md from the existing BENCH_SCALING.json "
         "without running any benchmark",
     )
+    ap.add_argument(
+        "--gate-host-eff",
+        type=float,
+        default=0.0,
+        help="quiet-window gate: before measuring, run the same-workload "
+        "no-Spark calibration (tools/workload_calibration.py — the build's "
+        "actual map computation at 1 vs 4 processes) and only start the "
+        "paired rounds once the HOST delivers at least this 4-way "
+        "efficiency with zero framework overhead. A shared VM that "
+        "delivers e.g. 0.8 for the raw computation cannot evidence a 0.8+ "
+        "job measurement regardless of the plan; gating separates the "
+        "job's scaling from the box's moment-to-moment contention. Every "
+        "calibration attempt is recorded in the output JSON.",
+    )
+    ap.add_argument(
+        "--max-wait-min",
+        type=float,
+        default=120.0,
+        help="give up waiting for a quiet window after this long and run "
+        "anyway (the last calibration is still recorded)",
+    )
     args = ap.parse_args()
     if args.render_only:
         with open(os.path.join(REPO, "BENCH_SCALING.json")) as f:
             render(json.load(f))
         return 0
     lo, hi = (int(x) for x in args.levels.split(","))
+
+    calibrations: list[dict] = []
+    if args.gate_host_eff > 0:
+        import time as _time
+
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from workload_calibration import measure as _calibrate
+
+        deadline = _time.time() + args.max_wait_min * 60
+        while True:
+            cal = _calibrate()
+            cal["at_min"] = round(
+                (_time.time() - deadline) / 60 + args.max_wait_min, 1
+            )
+            calibrations.append(cal)
+            print(json.dumps({"calibration": cal}), flush=True)
+            if cal["host_eff_4way"] >= args.gate_host_eff:
+                break
+            if _time.time() > deadline:
+                print(
+                    json.dumps(
+                        {"gate": "timed out waiting for quiet window"}
+                    ),
+                    flush=True,
+                )
+                break
+            _time.sleep(240)
 
     extra = (
         args.extra_level
@@ -260,6 +326,16 @@ def main() -> int:
             "to"
         ),
     }
+    if calibrations:
+        result["host_calibrations"] = calibrations
+        result["method"] += (
+            "; measurement gated on a quiet window: the same-workload "
+            "no-Spark calibration (tools/workload_calibration.py) had to "
+            f"show the HOST delivering >= {args.gate_host_eff} 4-way "
+            "efficiency for the build's raw map computation before the "
+            "paired rounds started (all attempts recorded in "
+            "host_calibrations)"
+        )
     if extra_runs:
         best_extra = min(
             extra_runs, key=lambda r: r["queries"]["index_build"]

@@ -87,7 +87,8 @@ def main() -> int:
             continue
         print(f"ok   {name}: rows={len(got)} values match")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} entries pass")
+    n_run = len(qs) if not only else len(only & set(qs))
+    print(f"\n{n_run - len(failures)}/{n_run} entries pass")
     spark.stop()
     return 1 if failures else 0
 
