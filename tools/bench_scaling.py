@@ -80,6 +80,85 @@ def run_rounds(
     return rounds, extra_runs
 
 
+def run_quiet_rounds(
+    lo: int,
+    hi: int,
+    amplify: int,
+    want: int,
+    extra: int | None,
+    gate_eff: float,
+    gate_sec: float,
+    max_wait_min: float,
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """Storm-robust variant of run_rounds for a SHARED host whose other
+    tenants come and go on minute scales: a paired round only COUNTS when
+    the same-workload no-Spark calibration (workload_calibration.py) shows
+    the host quiet BOTH immediately before and immediately after it — a
+    round a storm blew through is recorded (full transparency) but not
+    scored, because it measures the neighbors, not the plan. Collects
+    until ``want`` quiet-flanked rounds or the deadline; every round and
+    every calibration lands in the output JSON."""
+    import time as _time
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from workload_calibration import measure as _calibrate
+
+    def quiet(cal: dict) -> bool:
+        return (
+            cal["host_eff_4way"] >= gate_eff
+            and cal["task_sec_1p"] <= gate_sec
+        )
+
+    cooldown = int(os.environ.get("BM25_SCALING_COOLDOWN_SEC", "20"))
+    deadline = _time.time() + max_wait_min * 60
+    t0 = _time.time()
+    all_rounds: list[dict] = []
+    n_valid = 0
+    r = 0
+    while n_valid < want and _time.time() < deadline and r < 4 * want:
+        cal_b = _calibrate()
+        cal_b["at_min"] = round((_time.time() - t0) / 60, 1)
+        print(json.dumps({"cal_before": cal_b}), flush=True)
+        if not quiet(cal_b):
+            _time.sleep(150)
+            continue
+        order = [lo, hi] if r % 2 == 0 else [hi, lo]
+        got: dict[int, dict] = {}
+        for j, c in enumerate(order):
+            if j:
+                _time.sleep(cooldown)
+            got[c] = run_once(c, amplify)
+        cal_a = _calibrate()
+        cal_a["at_min"] = round((_time.time() - t0) / 60, 1)
+        valid = quiet(cal_a)
+        print(
+            json.dumps(
+                {
+                    "round": r,
+                    "build_sec": {
+                        str(lo): got[lo]["queries"]["index_build"],
+                        str(hi): got[hi]["queries"]["index_build"],
+                    },
+                    "cal_after": cal_a,
+                    "valid": valid,
+                }
+            ),
+            flush=True,
+        )
+        all_rounds.append(
+            {"got": got, "cal_before": cal_b, "cal_after": cal_a,
+             "valid": valid}
+        )
+        n_valid += int(valid)
+        r += 1
+    extra_runs: list[dict] = []
+    if extra:
+        _time.sleep(cooldown)
+        extra_runs.append(run_once(extra, amplify))
+    kept = [x for x in all_rounds if x["valid"]] or all_rounds
+    return [x["got"] for x in kept], extra_runs, all_rounds
+
+
 def _median(xs: list[float]) -> float:
     s = sorted(xs)
     n = len(s)
@@ -104,10 +183,21 @@ def render(result: dict) -> None:
     r_extra = result.get("extra_level")
 
     cal_md = ""
+    qa = result.get("quiet_round_audit")
+    if qa:
+        cal_md += f"""
+Quiet-round collection: {qa["n_valid"]} of {len(qa["rounds"])} paired
+rounds ran with the host verifiably quiet (same-workload no-Spark
+calibration passing both immediately before and immediately after the
+round); only those are scored — a round a neighbor-tenant load storm
+blew through measures the storm, not the plan. Full per-round audit
+(times + flanking calibrations, scored or not) in BENCH_SCALING.json
+`quiet_round_audit`.
+"""
     cals = result.get("host_calibrations")
     if cals:
         last = cals[-1]
-        cal_md = f"""
+        cal_md += f"""
 The measurement is additionally gated on a QUIET WINDOW: before the
 paired rounds start, the build's actual map computation (translate+join+
 split tokenize, factorize, per-unique filter, np.unique TF — the same
@@ -228,6 +318,23 @@ def main() -> int:
         help="give up waiting for a quiet window after this long and run "
         "anyway (the last calibration is still recorded)",
     )
+    ap.add_argument(
+        "--gate-task-sec",
+        type=float,
+        default=1e9,
+        help="quiet-window gate, absolute arm: the calibration's "
+        "single-process task must also run at least this fast — a load "
+        "spike during the 1p measurement inflates the RATIO, so absolute "
+        "speed is the trustworthy quietness signal",
+    )
+    ap.add_argument(
+        "--quiet-rounds",
+        action="store_true",
+        help="storm-robust collection: calibrate between rounds and score "
+        "only rounds flanked by quiet calibrations (see run_quiet_rounds); "
+        "--repeats is the number of quiet rounds wanted, --gate-host-eff/"
+        "--gate-task-sec define quiet, --max-wait-min bounds the hunt",
+    )
     args = ap.parse_args()
     if args.render_only:
         with open(os.path.join(REPO, "BENCH_SCALING.json")) as f:
@@ -235,7 +342,40 @@ def main() -> int:
         return 0
     lo, hi = (int(x) for x in args.levels.split(","))
 
-    calibrations: list[dict] = []
+    if args.quiet_rounds:
+        extra = (
+            args.extra_level
+            if args.extra_level and args.extra_level != hi
+            else None
+        )
+        rounds, extra_runs, all_rounds = run_quiet_rounds(
+            lo, hi, args.amplify, args.repeats, extra,
+            args.gate_host_eff, args.gate_task_sec, args.max_wait_min,
+        )
+        calibrations = [
+            c
+            for x in all_rounds
+            for c in (x["cal_before"], x["cal_after"])
+        ]
+        n_valid = sum(x["valid"] for x in all_rounds)
+        audit = [
+            {
+                "build_sec": {
+                    str(lo): x["got"][lo]["queries"]["index_build"],
+                    str(hi): x["got"][hi]["queries"]["index_build"],
+                },
+                "cal_before": x["cal_before"],
+                "cal_after": x["cal_after"],
+                "valid": x["valid"],
+            }
+            for x in all_rounds
+        ]
+        return _finish(
+            args, lo, hi, rounds, extra_runs, calibrations,
+            quiet_audit={"rounds": audit, "n_valid": n_valid},
+        )
+
+    calibrations = []
     if args.gate_host_eff > 0:
         import time as _time
 
@@ -250,7 +390,10 @@ def main() -> int:
             )
             calibrations.append(cal)
             print(json.dumps({"calibration": cal}), flush=True)
-            if cal["host_eff_4way"] >= args.gate_host_eff:
+            if (
+                cal["host_eff_4way"] >= args.gate_host_eff
+                and cal["task_sec_1p"] <= args.gate_task_sec
+            ):
                 break
             if _time.time() > deadline:
                 print(
@@ -270,7 +413,18 @@ def main() -> int:
     rounds, extra_runs = run_rounds(
         lo, hi, args.amplify, args.repeats, extra
     )
+    return _finish(args, lo, hi, rounds, extra_runs, calibrations)
 
+
+def _finish(
+    args,
+    lo: int,
+    hi: int,
+    rounds: list[dict],
+    extra_runs: list[dict],
+    calibrations: list[dict],
+    quiet_audit: dict | None = None,
+) -> int:
     per_round = []
     for got in rounds:
         tp_l, tp_h = got[lo]["turns_per_sec"], got[hi]["turns_per_sec"]
@@ -335,6 +489,15 @@ def main() -> int:
             "efficiency for the build's raw map computation before the "
             "paired rounds started (all attempts recorded in "
             "host_calibrations)"
+        )
+    if quiet_audit is not None:
+        result["quiet_round_audit"] = quiet_audit
+        result["method"] += (
+            "; QUIET-ROUND collection: a round is scored only when the "
+            "calibration immediately before AND after it showed the host "
+            "quiet (other tenants idle) — a round a load storm blew "
+            "through measures the neighbors, not the plan; every round, "
+            "scored or not, is recorded in quiet_round_audit"
         )
     if extra_runs:
         best_extra = min(

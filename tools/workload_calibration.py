@@ -62,12 +62,18 @@ def _task(_=None) -> float:
 
 
 def measure() -> dict:
+    """Min-of-2 per level: a transient load spike during the 1-process
+    measurement would otherwise INFLATE the ratio and fire a quiet-window
+    gate on a busy host. Gate on task_sec_1p (absolute speed = the real
+    quietness signal) as well as the ratio."""
     with ProcessPoolExecutor(1) as ex:  # warm through the pool
         list(ex.map(_task, [None]))
-    with ProcessPoolExecutor(1) as ex:
-        t1 = max(ex.map(_task, [None]))
-    with ProcessPoolExecutor(4) as ex:
-        t4 = max(ex.map(_task, [None] * 4))
+    t1 = min(
+        max(ProcessPoolExecutor(1).map(_task, [None])) for _ in range(2)
+    )
+    t4 = min(
+        max(ProcessPoolExecutor(4).map(_task, [None] * 4)) for _ in range(2)
+    )
     return {
         "task_sec_1p": round(t1, 2),
         "task_sec_4p": round(t4, 2),
