@@ -28,21 +28,61 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_once(cores: int, amplify: int) -> dict:
+def run_once(cores: int, amplify: int, monitor: bool = False) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cores),
         BM25_BENCH_AMPLIFY=str(amplify),
     )
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=3600,
-    )
+    samples: list[float] = []
+    stop = None
+    if monitor:
+        # 1 Hz whole-host busy-core sampler (/proc/stat): catches a
+        # neighbor-tenant storm DURING the run, which edge calibrations
+        # around the round cannot see. Foreign load inflates whichever
+        # level it hits — a storm during the 1-core run fakes GOOD
+        # efficiency — so in-run visibility is required for validity in
+        # either direction.
+        import threading
+        import time as _time
+
+        stop = threading.Event()
+
+        def _cpu():
+            with open("/proc/stat") as f:
+                p = f.readline().split()[1:]
+            v = list(map(int, p[:8]))
+            return sum(v), v[3] + v[4]  # total, idle+iowait
+
+        def _sample():
+            ncpu = os.cpu_count() or 32
+            prev = _cpu()
+            while not stop.wait(1.0):
+                cur = _cpu()
+                dt, di = cur[0] - prev[0], cur[1] - prev[1]
+                if dt > 0:
+                    samples.append(ncpu * (1.0 - di / dt))
+                prev = cur
+
+        threading.Thread(target=_sample, daemon=True).start()
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+    finally:
+        if stop is not None:
+            stop.set()
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    res = json.loads(line)
+    if monitor and samples:
+        s = sorted(samples)
+        res["busy_cores_p50"] = round(s[len(s) // 2], 2)
+        res["busy_cores_p90"] = round(s[int(len(s) * 0.9)], 2)
+    return res
 
 
 def run_rounds(
@@ -127,10 +167,17 @@ def run_quiet_rounds(
         for j, c in enumerate(order):
             if j:
                 _time.sleep(cooldown)
-            got[c] = run_once(c, amplify)
+            got[c] = run_once(c, amplify, monitor=True)
         cal_a = _calibrate()
         cal_a["at_min"] = round((_time.time() - t0) / 60, 1)
-        valid = quiet(cal_a)
+        # in-run validity: the 1 Hz host sampler must show no foreign
+        # load DURING either level's run (edge calibrations cannot see a
+        # storm that arrives and leaves inside the round; one that hits
+        # the 1-core run would fake GOOD efficiency)
+        busy_ok = all(
+            got[c].get("busy_cores_p90", 0.0) <= c + 2.5 for c in (lo, hi)
+        )
+        valid = quiet(cal_a) and busy_ok
         print(
             json.dumps(
                 {
@@ -139,7 +186,12 @@ def run_quiet_rounds(
                         str(lo): got[lo]["queries"]["index_build"],
                         str(hi): got[hi]["queries"]["index_build"],
                     },
+                    "busy_p90": {
+                        str(c): got[c].get("busy_cores_p90")
+                        for c in (lo, hi)
+                    },
                     "cal_after": cal_a,
+                    "busy_ok": busy_ok,
                     "valid": valid,
                 }
             ),
@@ -147,7 +199,7 @@ def run_quiet_rounds(
         )
         all_rounds.append(
             {"got": got, "cal_before": cal_b, "cal_after": cal_a,
-             "valid": valid}
+             "busy_ok": busy_ok, "valid": valid}
         )
         n_valid += int(valid)
         r += 1
@@ -187,12 +239,14 @@ def render(result: dict) -> None:
     if qa:
         cal_md += f"""
 Quiet-round collection: {qa["n_valid"]} of {len(qa["rounds"])} paired
-rounds ran with the host verifiably quiet (same-workload no-Spark
-calibration passing both immediately before and immediately after the
-round); only those are scored — a round a neighbor-tenant load storm
-blew through measures the storm, not the plan. Full per-round audit
-(times + flanking calibrations, scored or not) in BENCH_SCALING.json
-`quiet_round_audit`.
+rounds ran with the host verifiably quiet — the same-workload no-Spark
+calibration passed immediately before AND after the round, and a 1 Hz
+/proc/stat sampler saw no foreign load during either level's run. Only
+those rounds are scored: a neighbor-tenant storm hitting the 1-core run
+would FAKE good efficiency, so the validity check is symmetric — it
+discards storm rounds whether they flatter or hurt the number. Full
+per-round audit (times, in-run busy-core p90, flanking calibrations,
+scored or not) in BENCH_SCALING.json `quiet_round_audit`.
 """
     cals = result.get("host_calibrations")
     if cals:
@@ -364,8 +418,13 @@ def main() -> int:
                     str(lo): x["got"][lo]["queries"]["index_build"],
                     str(hi): x["got"][hi]["queries"]["index_build"],
                 },
+                "busy_p90": {
+                    str(c): x["got"][c].get("busy_cores_p90")
+                    for c in (lo, hi)
+                },
                 "cal_before": x["cal_before"],
                 "cal_after": x["cal_after"],
+                "busy_ok": x.get("busy_ok"),
                 "valid": x["valid"],
             }
             for x in all_rounds
@@ -493,11 +552,13 @@ def _finish(
     if quiet_audit is not None:
         result["quiet_round_audit"] = quiet_audit
         result["method"] += (
-            "; QUIET-ROUND collection: a round is scored only when the "
-            "calibration immediately before AND after it showed the host "
-            "quiet (other tenants idle) — a round a load storm blew "
-            "through measures the neighbors, not the plan; every round, "
-            "scored or not, is recorded in quiet_round_audit"
+            "; QUIET-ROUND collection: a round is scored only when (a) "
+            "the same-workload calibration immediately before AND after "
+            "it showed the host quiet, and (b) a 1 Hz /proc/stat sampler "
+            "saw no foreign load DURING either level's run (p90 busy "
+            "cores <= own cores + 2.5) — a storm hitting the 1-core run "
+            "would fake GOOD efficiency, so validity is symmetric; every "
+            "round, scored or not, is recorded in quiet_round_audit"
         )
     if extra_runs:
         best_extra = min(
