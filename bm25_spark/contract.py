@@ -506,7 +506,7 @@ def q_topk_stopwords(spark, sf_dir):
 NEARDUP_COS = 0.3  # synthetic embeddings: max pair cosine ~0.51
 JACCARD_T = 0.1
 MINHASH_PERMS = 8
-SIMHASH_BITS = 16
+SIMHASH_BITS = 60  # full hex60 width — the scale default (wide band keys)
 
 
 def q_token_stats(spark, sf_dir):

@@ -12,10 +12,14 @@ all three) — hash values are hex strings or 60-bit ints derived from them.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bm25_spark.operators.textstats import _tokens_col
+
+logger = logging.getLogger("bm25_spark.dedup")
 
 
 def _hex60(col: F.Column) -> F.Column:
@@ -66,14 +70,26 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     text_col: str = "text",
-    max_shingle_df: int | None = 10000,
+    max_shingle_df: int | None = 1000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(a, b, jaccard): n-gram Jaccard near-dup pairs (a < b, jaccard >= t).
 
     Inverted-index candidate generation: pairs share >=1 shingle; hot
     shingles above max_shingle_df are dropped from candidate generation
     (boilerplate guard) — exact for pairs whose overlap includes any
-    sub-cap shingle."""
+    sub-cap shingle. The default cap of 1000 bounds the worst single
+    shingle's contribution to ~5·10^5 candidate pairs (df·(df-1)/2); for
+    corpora where that still admits too much, ``minhash_lsh_pairs`` is the
+    scale route (its bucket keys are full-signature slices, not shared
+    n-grams).
+
+    Telemetry: pass ``stats={}`` to eagerly compute and log the coverage
+    counters — ``dropped_hot_shingles`` (distinct shingles excluded by the
+    cap), ``kept_shingles``, and ``candidate_pairs`` (sum of df·(df-1)/2
+    over kept shingles: the exact number of join rows the verify stage
+    sees). Runs one cheap aggregation job over the shingle index (keys
+    only); the returned DataFrame is unaffected."""
     sh = shingle_df(docs, n, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     if max_shingle_df is not None:
@@ -82,6 +98,30 @@ def jaccard_pairs(
             hot.filter(F.col("df") <= max_shingle_df).select("shingle"),
             "shingle",
         )
+        if stats is not None:
+            row = hot.select(
+                F.sum(
+                    (F.col("df") > max_shingle_df).cast("long")
+                ).alias("dropped"),
+                F.sum(
+                    (F.col("df") <= max_shingle_df).cast("long")
+                ).alias("kept"),
+                F.sum(
+                    F.when(
+                        F.col("df") <= max_shingle_df,
+                        F.col("df") * (F.col("df") - 1) / 2,
+                    ).otherwise(F.lit(0))
+                ).cast("long").alias("cand"),
+            ).collect()[0]
+            stats["dropped_hot_shingles"] = int(row["dropped"] or 0)
+            stats["kept_shingles"] = int(row["kept"] or 0)
+            stats["candidate_pairs"] = int(row["cand"] or 0)
+            logger.info(
+                "jaccard_pairs: max_shingle_df=%d dropped_hot_shingles=%d "
+                "kept_shingles=%d candidate_pairs=%d",
+                max_shingle_df, stats["dropped_hot_shingles"],
+                stats["kept_shingles"], stats["candidate_pairs"],
+            )
     else:
         sh_cand = sh
     a, b = sh_cand.alias("a"), sh_cand.alias("b")
@@ -190,9 +230,11 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
+def simhash(docs: DataFrame, bits: int = 60, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): b-bit SimHash over analyzer tokens (tf-weighted).
-    Bit i of md5-hex60(token) votes ±tf; sign of the sum sets the bit."""
+    Bit i of md5-hex60(token) votes ±tf; sign of the sum sets the bit.
+    Default 60 bits (the full hex60 width) — narrow hashes collide far too
+    often at corpus scale and make ``simhash_pairs`` band keys degenerate."""
     toks = (
         docs.select("doc_id", F.explode(_tokens_col(text_col)).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -225,21 +267,76 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text") -> DataFram
 
 def simhash_pairs(
     docs: DataFrame,
-    bits: int = 16,
+    bits: int = 60,
     max_hamming: int = 2,
     text_col: str = "text",
+    stats: dict | None = None,
+    allow_narrow_bands: bool = False,
 ) -> DataFrame:
     """(a, b, hamming): near-dup pairs with hamming(simhash) <= max_hamming.
     Candidate generation by band blocking (split bits into max_hamming+1
-    bands; pigeonhole: any pair within distance shares >=1 exact band)."""
+    bands; pigeonhole: any pair within distance shares >=1 exact band).
+
+    Scale note: the self-join key space per band is 2^(bits//(max_hamming+1))
+    — at the default bits=60, max_hamming=2 that is 2^20 buckets per band, so
+    bucket occupancy (and thus candidate volume) stays O(dup pairs) rather
+    than O(N^2/buckets). Narrow widths (e.g. bits=16 -> 5-bit keys -> 32
+    buckets) degenerate to a near-all-pairs join at corpus scale; a band key
+    narrower than 15 bits is rejected loudly unless
+    ``allow_narrow_bands=True`` (small-corpus tests only) — use wider
+    ``bits`` or smaller ``max_hamming`` instead.
+
+    Telemetry: pass ``stats={}`` to eagerly compute and log per-band bucket
+    and candidate-pair counts (``per_band`` list of dicts with band,
+    buckets, candidate_pairs; plus total ``candidate_pairs``). One cheap
+    aggregation over (band, key); the returned DataFrame is unaffected."""
     nb = max_hamming + 1
     width = bits // nb
+    if width < 15 and not allow_narrow_bands:
+        raise ValueError(
+            f"simhash_pairs: band key width {width} bits "
+            f"(bits={bits} // {nb} bands) gives only {1 << width} buckets "
+            "per band — the candidate self-join degenerates to near-all-"
+            "pairs at corpus scale. Use bits >= 15*(max_hamming+1) "
+            f"(e.g. the default bits=60 for max_hamming<=3)."
+        )
     s = simhash(docs, bits, text_col)
     band = F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("band")
     keyed = s.select("doc_id", "simhash", band).withColumn(
         "key",
         F.expr(f"(simhash >> (band * {width})) & {(1 << width) - 1}"),
     )
+    if stats is not None:
+        per_band = (
+            keyed.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("band")
+            .agg(
+                F.count(F.lit(1)).alias("buckets"),
+                F.sum(F.col("c") * (F.col("c") - 1) / 2)
+                .cast("long")
+                .alias("candidate_pairs"),
+            )
+            .orderBy("band")
+            .collect()
+        )
+        stats["per_band"] = [
+            {
+                "band": int(r["band"]),
+                "buckets": int(r["buckets"]),
+                "candidate_pairs": int(r["candidate_pairs"] or 0),
+            }
+            for r in per_band
+        ]
+        stats["candidate_pairs"] = sum(
+            e["candidate_pairs"] for e in stats["per_band"]
+        )
+        for e in stats["per_band"]:
+            logger.info(
+                "simhash_pairs: band=%d buckets=%d candidate_pairs=%d "
+                "(key width %d bits)",
+                e["band"], e["buckets"], e["candidate_pairs"], width,
+            )
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
         a.join(b, ["band", "key"])
@@ -317,6 +414,15 @@ def embedding_neardup_pairs(
             "block"
             if n_blocks is not None
             else ("lsh" if threshold >= 0.8 else "block")
+        )
+        # auto is approximate at near-dup thresholds — say so, visibly,
+        # so callers on default args know exact vs approximate was chosen
+        # for them (pass method="block" to force the exact path)
+        logger.info(
+            "embedding_neardup_pairs: method='auto' selected %r "
+            "(threshold=%s; 'lsh' is approximate candidate-gen + exact "
+            "verify, 'block' is exact block-GEMM)",
+            method, threshold,
         )
     if method == "lsh":
         return _embedding_neardup_lsh(

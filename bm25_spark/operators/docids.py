@@ -46,9 +46,13 @@ _SAMPLE_PER_PART = 40  # sampled keys per target partition (boundary fit)
 
 def _key_encoder(fields):
     """Order-preserving bytes encoding for a tuple of (string | integral)
-    key columns: utf-8 + NUL terminator for strings (b'ab\\x00' < b'abc'
-    matches codepoint order), sign-biased big-endian u64 for ints. Nulls
-    are rejected — the input contract's order keys are non-null."""
+    key columns. Strings are utf-8 with embedded NUL escaped
+    (``0x00 -> 0x00 0x01``) and terminated by ``0x00 0x00`` — the escape
+    keeps multi-column comparisons order-preserving even when a value
+    contains ``\\x00`` (plain NUL-termination would rank ('a\\x00','b')
+    below ('a','\\x01') while Spark ranks it above). Ints are sign-biased
+    big-endian u64. Nulls are rejected — the input contract's order keys
+    are non-null."""
     kinds = []
     for f in fields:
         t = f.dataType.simpleString()
@@ -68,7 +72,10 @@ def _key_encoder(fields):
             if v is None:
                 raise ValueError("null order-key value")
             if kind == "s":
-                parts.append(str(v).encode("utf-8") + b"\x00")
+                parts.append(
+                    str(v).encode("utf-8").replace(b"\x00", b"\x00\x01")
+                    + b"\x00\x00"
+                )
             else:
                 parts.append(int(int(v) + (1 << 63)).to_bytes(8, "big"))
         return b"".join(parts)

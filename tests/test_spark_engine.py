@@ -78,6 +78,30 @@ def test_docid_assignment_matches_window(spark, synth):
         assert sorted(ids) == list(range(n)), method
 
 
+def test_docid_sample_handles_nul_in_keys(spark):
+    """Adversarial order keys: embedded NUL bytes. The sample path's byte
+    encoding must stay order-preserving — e.g. Spark ranks ('a\\x00','b')
+    ABOVE ('a','\\x01'), so a plain NUL terminator (which encodes the
+    former smaller) would misorder bucket assignment vs the
+    sortWithinPartitions order and emit non-rank doc_ids."""
+    rows = [
+        ("a\x00", 0), ("a", 0), ("a\x00a", 1), ("a\x01", 2), ("a", 1),
+        ("b\x00\x00", 0), ("b", 5), ("", 0), ("\x00", 0), ("\x00\x00", 3),
+    ] + [(f"c{i % 7}\x00tail{i}", i) for i in range(200)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    want = {
+        (r["conv_id"], r["turn_idx"]): r["doc_id"]
+        for r in assign_doc_ids(df, method="window").collect()
+    }
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["doc_id"]
+        for r in assign_doc_ids(
+            df, method="sample", num_partitions=8
+        ).collect()
+    }
+    assert got == want
+
+
 def test_engine_matches_oracle_on_synthetic(synth_index, synth_oracle):
     queries = [
         "spark query", "fox", "data table join", "cat cat cat", "cat",

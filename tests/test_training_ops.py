@@ -151,9 +151,48 @@ def test_simhash(docs):
     assert s[0] == s[2]  # identical token multiset
     assert 0 <= s[0] < (1 << 16)
     pairs = {(r["a"], r["b"]): r["hamming"] for r in
-             dedup.simhash_pairs(docs, bits=16, max_hamming=3).collect()}
+             dedup.simhash_pairs(docs, bits=16, max_hamming=3,
+                                 allow_narrow_bands=True).collect()}
     assert pairs[(0, 2)] == 0
     assert pairs[(3, 4)] == 0
+    # narrow band keys (here 16//4 = 4 bits) are a corpus-scale footgun:
+    # rejected loudly unless explicitly allowed for small-corpus tests
+    with pytest.raises(ValueError, match="band key width"):
+        dedup.simhash_pairs(docs, bits=16, max_hamming=3)
+
+
+def test_dedup_candidate_volume_is_linear(spark):
+    """At default scale parameters, candidate volume tracks the number of
+    true duplicate pairs, not N^2/buckets. 5k unique docs + 50 planted
+    dup pairs: simhash banding must produce O(dup) candidates, and
+    jaccard's hot-shingle telemetry must report a bounded verify join."""
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{i:04d}" for i in range(2000)]
+    rows = []
+    for i in range(5000):
+        rows.append((i, " ".join(rng.choice(words) for _ in range(30))))
+    for j in range(50):  # 50 planted near-dups of the first 50 docs
+        rows.append((5000 + j, rows[j][1] + " extraword"))
+    big = spark.createDataFrame(rows, "doc_id long, text string")
+
+    stats: dict = {}
+    dedup.simhash_pairs(big, stats=stats)  # defaults: bits=60, 20-bit keys
+    n = len(rows)
+    # all-pairs would be ~12.7M; per band at 32 buckets (the old 16-bit
+    # default) ~400k. With 20-bit keys candidates must be O(dups): allow
+    # generous slack for random collisions but stay orders below both.
+    assert stats["candidate_pairs"] < 10 * n
+    assert all(e["buckets"] > 1000 for e in stats["per_band"])
+
+    jstats: dict = {}
+    dedup.jaccard_pairs(big, stats=jstats)
+    # random 30-word docs over 2000 words share almost no 3-gram shingles;
+    # the verify join must be O(dup pairs), and the counters must exist
+    assert jstats["candidate_pairs"] < 10 * n
+    assert jstats["kept_shingles"] > 0
+    assert jstats["dropped_hot_shingles"] == 0
 
 
 def _vecs(seed=3, n=30, dim=8):
