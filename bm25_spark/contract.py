@@ -756,7 +756,9 @@ def q_mm_decode_meta(spark, sf_dir):
     from bm25_spark.operators.multimodal import attach_blobs, decode_images
 
     blobs = attach_blobs(_read_docs(spark, sf_dir))
-    return decode_images(blobs).select(
+    # backend pinned to 'stub': the DuckDB oracle re-derives the stub's
+    # md5 pixels; 'auto' (the operator default) is environment-dependent
+    return decode_images(blobs, backend="stub").select(
         "doc_id",
         "byte_len",
         F.col("width").cast("long").alias("width"),
@@ -774,7 +776,9 @@ def q_mm_resize(spark, sf_dir):
     SQL)."""
     from bm25_spark.operators.multimodal import attach_blobs, resize_images
 
-    resized = resize_images(attach_blobs(_read_docs(spark, sf_dir)))
+    resized = resize_images(
+        attach_blobs(_read_docs(spark, sf_dir)), backend="stub"
+    )
 
     def checksum(batches):
         import numpy as np

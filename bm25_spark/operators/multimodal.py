@@ -103,9 +103,11 @@ def get_decoder(backend: str = "auto"):
       what the DuckDB contract oracle mirrors)
     - ``'auto'`` — 'pil' when importable, else 'stub'
 
-    Decode stages below take ``backend`` and default to 'stub' so results
-    stay deterministic across environments; pass 'auto'/'pil' for real
-    media."""
+    Decode stages below take ``backend`` and default to 'auto': real
+    decode wherever Pillow exists, the deterministic stub elsewhere (this
+    sandbox). Pass ``'stub'`` explicitly when determinism across
+    environments matters (the contract oracle does — it mirrors the
+    stub's md5-derived pixels)."""
     if backend == "auto":
         backend = "pil" if _pil_available() else "stub"
     if backend == "pil":
@@ -119,7 +121,7 @@ def get_decoder(backend: str = "auto"):
     raise ValueError(f"unknown decode backend: {backend!r}")
 
 
-def decode_images(blobs: DataFrame, backend: str = "stub") -> DataFrame:
+def decode_images(blobs: DataFrame, backend: str = "auto") -> DataFrame:
     """(doc_id, byte_len, width, height, channels, mean_pixel): decode +
     feature-extract via mapInPandas — Arrow batches in, Arrow batches out;
     partitioning preserved (narrow). ``backend``: see get_decoder."""
@@ -144,7 +146,7 @@ def decode_images(blobs: DataFrame, backend: str = "stub") -> DataFrame:
 
 
 def resize_images(
-    blobs: DataFrame, target: int = 8, backend: str = "stub"
+    blobs: DataFrame, target: int = 8, backend: str = "auto"
 ) -> DataFrame:
     """(doc_id, blob): resize = decode + nearest-neighbor subsample +
     re-encode (bytes of the resized array). ``backend``: see get_decoder."""

@@ -681,6 +681,7 @@ def _cluster_scored(
     partition_keys,
     allowed: DataFrame | None,
     group_limit: int,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(query_id, pk, doc_id, score): per-(pk, shard) vectorized scoring of
     the WHOLE query batch with per-(query, shard) top-``group_limit``
@@ -759,6 +760,30 @@ def _cluster_scored(
         )
     )
     rows = p.join(tb, "term")
+
+    if stats is not None:
+        # opt-in instrumentation (tests / telemetry): plan-time bucket
+        # facts are free; per-task input row counts cost one extra agg job
+        # over the joined blob rows. Replication per blob = number of
+        # buckets whose queries use its term — capped by n_buckets AND by
+        # the number of queries containing the term.
+        repl: dict[str, int] = {}
+        for term, _qb in term_bucket_rows:
+            repl[term] = repl.get(term, 0) + 1
+        stats["n_groups"] = n_groups
+        stats["n_buckets"] = n_buckets
+        stats["n_queries"] = len(qids)
+        stats["max_term_replication"] = max(repl.values(), default=0)
+        per_task = (
+            rows.groupBy("pk", "shard", "qb")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        stats["n_tasks"] = len(per_task)
+        stats["max_task_rows"] = max(
+            (int(r["c"]) for r in per_task), default=0
+        )
+        stats["total_joined_rows"] = sum(int(r["c"]) for r in per_task)
 
     has_filter = allowed is not None
     if has_filter:
@@ -992,10 +1017,13 @@ def search_packed(
     per_partition_limit: int | None = None,
     prune: bool = True,
     force_cluster: bool = False,
+    cluster_stats: dict | None = None,
 ) -> DataFrame:
     """Top-k over the packed index. Same semantics/schema as
     searcher.search_batch. Chooses the driver fast path (with shard-level
-    block-max pruning when ``prune``) or the cluster path automatically."""
+    block-max pruning when ``prune``) or the cluster path automatically.
+    ``cluster_stats``: pass a dict to capture the cluster path's shuffle
+    shape (bucket counts, per-task input rows — one extra agg job)."""
     if index.packed is None:
         raise ValueError("index is not packed — call pack_index() first")
     if limit < 1:
@@ -1057,7 +1085,10 @@ def search_packed(
             return _local_result_df(spark, rows_out)
 
     group_limit = max(limit, per_partition_limit or 0)
-    scored = _cluster_scored(index, qrows, partition_keys, allowed, group_limit)
+    scored = _cluster_scored(
+        index, qrows, partition_keys, allowed, group_limit,
+        stats=cluster_stats,
+    )
 
     if per_partition_limit is not None:
         w_pk = Window.partitionBy("query_id", "pk").orderBy(

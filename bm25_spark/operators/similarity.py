@@ -128,6 +128,49 @@ def ivf_seed_centroids(
     return [(c, [float(x) for x in r["v"]]) for c, r in enumerate(rows)]
 
 
+def ivf_refine_centroids(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd (k-means) refinement of IVF centroids: ``iters`` passes, each
+    one assign + groupBy-avg shuffle. Deterministic given the input
+    centroids (the seed sample is already RNG-free). Cosine assignment is
+    scale-invariant, so the plain coordinate mean is a valid spherical
+    k-means update (normalizing the mean would not change any argmax).
+
+    Plan per iteration: one narrow cell assignment (`_cell_expr` inlines
+    the current centroids as literals — no UDF, no broadcast), then
+    posexplode to (cell, pos, value) and avg — partially aggregatable, so
+    map-side combine reduces the shuffle to ~tasks × nlist × dim rows;
+    only nlist × dim averaged values reach the driver. Empty cells keep
+    their previous centroid (the standard Lloyd convention), so the cell
+    count is stable for consumers."""
+    cur = centroids
+    for _ in range(iters):
+        v = _prep(embeddings, id_col, vec_col)
+        assigned = v.withColumn("cell", _cell_expr(cur))
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("s")
+            )
+            .select("cell", F.col("s.m").alias("centroid"))
+            .collect()
+        )
+        by_cell = {int(r["cell"]): [float(x) for x in r["centroid"]]
+                   for r in means}
+        cur = [(c, by_cell.get(c, prev)) for c, prev in cur]
+    return cur
+
+
 def _cell_expr(centroids: list[tuple[int, list[float]]]) -> F.Column:
     """Nearest-centroid cell id (argmax cosine, ties -> smallest cell) as a
     pure JVM expression over column ``v``/``nrm``: greatest() over
@@ -157,13 +200,21 @@ def ivf_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """(id, v, nrm, cell): IVF cell assignment — one narrow pass with the
     centroids inlined as literals (broadcast-free; they ARE the plan). At
     scale, write this out partitioned/bucketed by ``cell`` so ivf_topk's
-    probe reads only nprobe cells off storage (partition pruning)."""
+    probe reads only nprobe cells off storage (partition pruning).
+    ``refine_iters`` > 0 runs that many Lloyd passes over the seed sample
+    first (ivf_refine_centroids) — better-balanced cells and higher recall
+    at fixed nprobe, for refine_iters extra build-time shuffles."""
     if centroids is None:
         centroids = ivf_seed_centroids(embeddings, nlist, id_col, vec_col)
+        if refine_iters:
+            centroids = ivf_refine_centroids(
+                embeddings, centroids, refine_iters, id_col, vec_col
+            )
     v = _prep(embeddings, id_col, vec_col)
     return v.withColumn("cell", _cell_expr(centroids))
 
@@ -177,16 +228,23 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """(query_id, id, cosine, rank): IVF approximate top-k — score only the
     rows whose cell is among the ``nprobe`` cells whose centroids are
     nearest the query (cosine, ties by cell asc). Recall is tunable via
     nlist/nprobe (validated vs brute_topk in tests); nprobe=nlist is exact.
-    The probe-cell choice runs on the driver over the nlist centroids
-    (tiny); candidate scoring is one cell-pruned scan + broadcast join."""
+    ``refine_iters`` Lloyd passes (build-time) raise recall at fixed
+    nprobe on clustered data. The probe-cell choice runs on the driver
+    over the nlist centroids (tiny); candidate scoring is one cell-pruned
+    scan + broadcast join."""
     spark = embeddings.sparkSession
     if centroids is None:
         centroids = ivf_seed_centroids(embeddings, nlist, id_col, vec_col)
+        if refine_iters:
+            centroids = ivf_refine_centroids(
+                embeddings, centroids, refine_iters, id_col, vec_col
+            )
     cells = ivf_cells(embeddings, nlist, id_col, vec_col, centroids)
 
     def probe_cells(vec: list[float]) -> list[int]:

@@ -27,30 +27,52 @@ STOPWORDS_EN = (
 # language so scoring stays a pure string expression: score(L) = total
 # occurrences of L's trigrams in the normalized text. Deterministic,
 # DuckDB-mirrorable (integer counts via length-difference / 3).
+# Profiles revised round 4 against tools/lid_accuracy.py's labeled fixture
+# using ONLY its dev half (first 10 sentences/language); the test half is
+# untouched held-out data, reported in BENCH.md (0.74 -> 0.86). Design
+# notes: pan-Germanic endings ("en ", "er ") appear in ALL of de/nl/sv so
+# they cancel among those and the distinctive trigrams decide; "que"/"est"
+# sit in es AND pt AND fr for the same reason.
 LANG_TRIGRAMS = {
     "en": [" th", "the", "he ", "and", " an", "nd ", "ing", "ng ",
-           " of", "of ", " to", "to ", "ion", " is", "is ", "ed "],
+           " of", "of ", " to", "to ", "ion", " is", "is ", "ed ",
+           "tha", "hat", "was", " wa", "for", " fo", "ere", "ent"],
     "de": ["der", "die", "und", " un", "ein", "ich", "sch", "cht",
-           "ung", "gen", "den", " zu", "zu ", "eit", "ver", "nen"],
+           "ung", "gen", "den", " zu", "zu ", "eit", "ver", "nen",
+           "en ", "er ", "aus", "bei", "wir", "das", "sse", "ück",
+           "auf"],
     "es": ["ión", "ado", "los", " lo", "las", "ció", "ent", "ar ",
            "era", "nte", " co", "con", "por", " po", "una", "ada",
-           "del", " el", "el "],
+           "del", " el", "el ", "que", " qu", "est", "aba", "ndo",
+           " y ", "ía ", "ón "],
     "fr": ["les", " le", "ent", "que", " qu", "ue ", "ait", "eur",
            "oir", " pa", "par", "une", "ons", " et", "et ", "ais",
-           "est", "des", "our"],
+           "est", "des", "our", " à ", "ée ", "eau", "dan", "ont",
+           "iss", "lle", "le "],
     "it": ["che", " ch", "zio", "one", "ità", "gli", " gl", "ell",
-           "lla", "to ", " di", "di ", "per", " pe", "non", "nto"],
+           "lla", "to ", " di", "di ", "per", " pe", "non", "nto",
+           "are", "ere", "ato", "ono", "ano", "utt", "ggi", "iù "],
     "nl": ["het", " he", "van", " va", "een", " ee", "ijk", "ij ",
-           "aar", "oor", "rde", "nde", " ve", "aan", "gel", "ord"],
+           "aar", "oor", "rde", "nde", " ve", "aan", "gel", "ord",
+           "en ", "er ", "lk ", "ijd", "oud", "eer", " op", "cht",
+           "iet", "uit", " ui", "wij", "zij", "eke", "kwa", "uis"],
     "pl": ["nie", " ni", "prz", "rze", " pr", "ego", "ych", "owa",
-           "ani", "cze", "szy", " sz", "ość", "dzi", "wie", "ało"],
+           "ani", "cze", "szy", " sz", "ość", "dzi", "wie", "ało",
+           "ej ", "ym ", "ów ", "ał ", "ła ", "ło ", "ied", "czy",
+           " w ", "cja", "acj", "owi", "ili"],
     "pt": ["ção", "ão ", "ade", " co", "do ", " do", "da ", " da",
-           "os ", "par", "uma", "não", " nã", "res", "men", "com"],
+           "os ", "par", "uma", "não", " nã", "res", "men", "com",
+           "em ", " em", "nha", "nho", "lhe", "lho", "eir", "ões",
+           "ava", "ou ", "que", " qu", "est", "as ", " no", " os",
+           "inh", "çõe"],
     "ru": ["ого", "его", "ени", "ост", "ств", "ать", "ния", "тся",
-           "ть ", "ый ", "ая ", " пр", "при", " не", "что", " на"],
+           "ть ", "ый ", "ая ", " пр", "при", " не", "что", " на",
+           "ом ", "ой ", "ий ", "или", "они", " во", "оро", "ет ",
+           "ние", " ко", "ами", "ень", "ала"],
     "sv": ["och", " oc", "att", " at", "det", "för", " fö", "är ",
            " är", "som", " so", "ade", "ett", "rna", "lig", "ska",
-           "den", "en ", "na "],
+           "den", "en ", "na ", "er ", " på", "på ", " av", "av ",
+           "än ", "ång", "ill", "tt ", "ätt", "igt", "öve"],
 }
 # argmax preference order: ties go to the EARLIER language (and the same
 # CASE order is generated for the DuckDB oracle, so both engines break

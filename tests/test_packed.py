@@ -322,3 +322,54 @@ def test_packed_batch_and_empty(packed_synth):
     rows = res.collect()
     assert {r["query_id"] for r in rows} == {0}
     assert search_packed(packed_synth, [(0, "  ")], limit=5).count() == 0
+
+
+def test_cluster_batch_skew_rows_bounded(spark):
+    """Zipf-hot term + filter across >=4 shards x >=2 query buckets: the
+    bucket fan-out's replication cap (packed._cluster_scored) must hold in
+    the PHYSICAL joined rows, not just the docstring — each blob row is
+    shipped at most min(n_buckets, queries-using-its-term) times, and one
+    task never receives more blob rows than the batch's distinct terms
+    (i.e. per-task input is O(terms), independent of Q and N)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    for i in range(320):  # 5 shards at shard_size=64
+        # 'hotterm' in EVERY doc (Zipf head); each doc adds rare tails
+        text = f"hotterm filler{i % 17} rare{i} tail{i % 53}"
+        rows.append(
+            ("skew", i, "user" if i % 2 else "assistant", text, None,
+             t0 + dt.timedelta(seconds=i))
+        )
+    from bm25_spark.sources.datagen import TRANSCRIPT_SCHEMA
+
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    idx = pack_index(build_index(df, shard_size=64))
+    idx.packed.persist().count()
+
+    # 12 queries, every one hitting the hot term (worst-case skew)
+    queries = [(q, f"hotterm rare{q * 7} filler{q % 17}") for q in range(12)]
+    stats: dict = {}
+    res = search_packed(
+        idx, queries, limit=5, flt={"role": ["user"]},
+        force_cluster=True, cluster_stats=stats,
+    )
+    got = {(r["query_id"], r["doc_id"]) for r in res.collect()}
+
+    assert stats["n_buckets"] >= 2
+    assert stats["n_tasks"] >= 4 * 2  # shards x buckets actually used
+    # hot blob ships once per BUCKET, never once per query
+    assert stats["max_term_replication"] <= stats["n_buckets"]
+    assert stats["max_term_replication"] < len(queries)
+    n_terms = len({t for _, q in queries for t in q.split()})
+    assert stats["max_task_rows"] <= n_terms
+    # total shuffle volume: <= blobs * n_buckets (the cap), far under Q
+    n_blobs = idx.packed.count()
+    assert stats["total_joined_rows"] <= n_blobs * stats["n_buckets"]
+
+    # and the instrumented run is still correct vs the driver path
+    drv = search_packed(idx, queries, limit=5, flt={"role": ["user"]})
+    want = {(r["query_id"], r["doc_id"]) for r in drv.collect()}
+    assert got == want
+    idx.packed.unpersist()

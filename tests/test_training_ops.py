@@ -109,6 +109,18 @@ def test_fingerprint_and_exact_dedup(docs):
     assert res[4]["group_id"] == 3
 
 
+def test_lang_id_heldout_accuracy_floor(spark):
+    """Regression floor for the held-out LID figure reported in BENCH.md:
+    the test half of tools/lid_accuracy.py's fixture (never used for
+    profile tuning) must stay >= 0.8 accurate. The exact per-sentence
+    fixture above guards determinism; this guards quality."""
+    from tools.lid_accuracy import measure
+
+    result = measure(spark)
+    assert result["n_test"] == 100
+    assert result["value"] >= 0.8, result
+
+
 def _py_shingles(text, n=3):
     toks = [t for t in __import__("re").findall(r"[a-z0-9_]+", text.lower()) if len(t) >= 2]
     return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))}
@@ -293,6 +305,40 @@ def test_ivf_topk_recall_and_exactness(emb):
     }
 
 
+def test_ivf_lloyd_refinement_improves_recall(spark):
+    """Clustered fixture: 4 tight, well-separated direction clusters.
+    Random-sample seeds can land two seeds in one cluster (splitting it
+    and orphaning another); Lloyd passes pull centroids to the cluster
+    means, so recall at fixed nprobe=1 must be >= the seeded recall —
+    and refined centroids must differ from the seeds (the passes ran)."""
+    rng = np.random.default_rng(11)
+    axes = np.eye(8)[:4]  # 4 orthogonal cluster directions
+    rows = []
+    for i in range(200):
+        v = axes[i % 4] + 0.05 * rng.normal(size=8)
+        rows.append((i, [float(x) for x in v]))
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    vecs = dict(rows)
+    qs = [(i, vecs[i]) for i in (0, 1, 2, 3, 17, 42)]
+    brute = similarity.brute_topk(emb2, qs, k=10).collect()
+    bset = {(r["query_id"], r["id"]) for r in brute}
+
+    def recall(refine_iters):
+        got = similarity.ivf_topk(
+            emb2, qs, k=10, nlist=4, nprobe=1, refine_iters=refine_iters
+        ).collect()
+        gset = {(r["query_id"], r["id"]) for r in got}
+        return len(gset & bset) / len(bset)
+
+    seeded, refined = recall(0), recall(3)
+    assert refined >= seeded
+    assert refined >= 0.9  # tight clusters: 3 Lloyd passes ~solve this
+    seeds = similarity.ivf_seed_centroids(emb2, nlist=4)
+    ref = similarity.ivf_refine_centroids(emb2, seeds, iters=3)
+    assert ref != seeds
+    assert len(ref) == 4 and all(len(c) == 8 for _, c in ref)
+
+
 def test_ivf_cells_partition_the_corpus(emb):
     cells = similarity.ivf_cells(emb, nlist=4).collect()
     assert len(cells) == len(_vecs())  # every vector lands in exactly 1 cell
@@ -376,13 +422,16 @@ def test_decoder_dispatch_errors():
 
 def test_multimodal_plumbing(docs):
     blobs = multimodal.attach_blobs(docs)
-    meta = {r["doc_id"]: r for r in multimodal.decode_images(blobs).collect()}
+    # stub pinned: attach_blobs makes fake (utf-8) blobs, and this test
+    # asserts the stub's byte-exact semantics regardless of Pillow presence
+    meta = {r["doc_id"]: r
+            for r in multimodal.decode_images(blobs, backend="stub").collect()}
     assert meta[0]["byte_len"] == len(CORPUS[0][1].encode())
     assert meta[0]["channels"] == 3
     assert 4 <= meta[0]["width"] <= 16
     # determinism: same text -> same decoded meta
     assert meta[3]["mean_pixel"] == meta[4]["mean_pixel"]
-    resized = multimodal.resize_images(blobs, target=4).collect()
+    resized = multimodal.resize_images(blobs, target=4, backend="stub").collect()
     assert all(len(r["blob"]) == 4 * 4 * 3 for r in resized)
     # byte-exact resize semantics: stub decode + numpy-linspace
     # nearest-neighbor subsample (what the mm_resize oracle re-derives)
