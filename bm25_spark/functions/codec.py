@@ -25,16 +25,39 @@ import numpy as np
 BLOCK = 128
 
 
+_ENC_SLICE = 1 << 20  # values per internal encode slice (memory bound)
+
+
 def encode_varints(
     values: np.ndarray, return_lengths: bool = False
 ):
     """LEB128-encode a uint64 array, vectorized. With ``return_lengths``,
     also returns the per-value byte counts (for slicing a bulk encode into
-    per-run blobs)."""
+    per-run blobs).
+
+    Encodes in internal slices of ``_ENC_SLICE`` values: the vectorized
+    kernel materializes an (n, width) byte matrix plus two boolean masks
+    (~10x the input bytes in transients), so one unbounded call costs
+    O(input) peak memory — slicing caps the transient at ~30 MB while the
+    output stream stays byte-identical (LEB128 is value-local)."""
     v = values.astype(np.uint64)
     n = len(v)
     if n == 0:
         return (b"", np.empty(0, np.int64)) if return_lengths else b""
+    if n > _ENC_SLICE:
+        parts = []
+        lens = [] if return_lengths else None
+        for s in range(0, n, _ENC_SLICE):
+            out = encode_varints(v[s : s + _ENC_SLICE], return_lengths)
+            if return_lengths:
+                parts.append(out[0])
+                lens.append(out[1])
+            else:
+                parts.append(out)
+        buf = b"".join(parts)
+        if return_lengths:
+            return buf, np.concatenate(lens)
+        return buf
     # byte count per value: 1 + one per 7-bit threshold crossed (max 10)
     nbytes = np.ones(n, dtype=np.int64)
     for t in range(7, 64, 7):
@@ -221,6 +244,18 @@ def pack_runs_bulk(
     n = len(doc_ids)
     if n == 0:
         return []
+    # contiguity + non-emptiness are load-bearing for the reduceat-based
+    # offsets below (reduceat over a repeated boundary would yield a
+    # 1-element sum, not 0, for an empty run)
+    if (
+        starts[0] != 0
+        or ends[-1] != n
+        or not np.array_equal(ends[:-1], starts[1:])
+        or not (ends > starts).all()
+    ):
+        raise ValueError(
+            "pack_runs_bulk requires contiguous non-empty runs"
+        )
     doc_ids = doc_ids.astype(np.int64)
     deltas = np.empty(n, dtype=np.int64)
     deltas[1:] = np.diff(doc_ids)
@@ -229,8 +264,13 @@ def pack_runs_bulk(
     interleaved[0::3] = deltas.astype(np.uint64)
     interleaved[1::3] = tfs.astype(np.uint64)
     interleaved[2::3] = dls.astype(np.uint64)
+    del deltas
     buf, nbytes = encode_varints(interleaved, return_lengths=True)
-    cum = np.concatenate(([0], np.cumsum(nbytes)))
-    return [
-        buf[cum[3 * s] : cum[3 * e]] for s, e in zip(starts, ends)
-    ]
+    del interleaved
+    # per-run byte offsets via reduceat over the run boundaries — never a
+    # full per-value cumsum (that transient is 8 bytes/value at exactly the
+    # task's peak-memory moment)
+    run_bytes = np.add.reduceat(nbytes, 3 * starts)
+    del nbytes
+    offs = np.concatenate(([0], np.cumsum(run_bytes)))
+    return [buf[offs[i] : offs[i + 1]] for i in range(len(starts))]

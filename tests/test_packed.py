@@ -81,6 +81,53 @@ def test_codec_property_roundtrip():
             assert np.array_equal(dls[want], l3.astype(np.int64))
 
 
+def test_encode_varints_sliced_byte_identical(monkeypatch):
+    """The memory-bounded internal slicing of encode_varints must be
+    byte-identical to the one-shot kernel (LEB128 is value-local)."""
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 2**50, size=10_000, dtype=np.uint64)
+    whole, whole_lens = codec.encode_varints(vals, return_lengths=True)
+    monkeypatch.setattr(codec, "_ENC_SLICE", 257)  # force many slices
+    sliced, sliced_lens = codec.encode_varints(vals, return_lengths=True)
+    assert sliced == whole
+    assert np.array_equal(sliced_lens, whole_lens)
+    assert codec.encode_varints(vals) == whole
+
+
+def test_pack_runs_bulk_matches_per_run_and_guards():
+    rng = np.random.default_rng(5)
+    n_runs = 40
+    lens = rng.integers(1, 200, n_runs)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    ends = np.cumsum(lens)
+    n = int(ends[-1])
+    bases = rng.integers(0, 2**20, n_runs) * 1000
+    ids = np.concatenate(
+        [
+            np.sort(rng.choice(900, size=l, replace=False)) + b
+            for l, b in zip(lens, bases)
+        ]
+    )
+    tfs = rng.integers(1, 50, n)
+    dls = rng.integers(1, 500, n)
+    blobs = codec.pack_runs_bulk(ids, tfs, dls, starts, ends, bases)
+    for i in range(n_runs):
+        s, e = starts[i], ends[i]
+        assert blobs[i] == codec.pack_run(
+            ids[s:e], tfs[s:e], dls[s:e], int(bases[i])
+        )
+    # non-contiguous and empty runs are rejected loudly
+    with pytest.raises(ValueError):
+        codec.pack_runs_bulk(
+            ids, tfs, dls, starts + 1, ends + 1, bases
+        )
+    s2, e2 = starts.copy(), ends.copy()
+    e2[3] = s2[3]  # empty run, still "contiguous" w.r.t. the next start
+    s2[4] = e2[3]
+    with pytest.raises(ValueError):
+        codec.pack_runs_bulk(ids, tfs, dls, s2, e2, bases)
+
+
 def test_packed_golden_scores(packed_golden):
     for q, expected in GOLDEN.items():
         res = search_packed(packed_golden, [(0, q)], limit=3)
