@@ -64,7 +64,20 @@ def main() -> None:
         )
     else:
         corpus = base
-    corpus = corpus.repartition(cpus).persist()
+    # input-split sizing: production reads bounded splits
+    # (spark.sql.files.maxPartitionBytes), so docs-per-task is a constant
+    # set by split size, NOT corpus size. The amplified in-memory corpus
+    # must mimic that or it measures an artifact: one fixed-width wave
+    # grows docs-per-task 10x when the corpus grows 10x, inflating worker
+    # peak RSS (478 MB vs 201 MB at 3.2M docs) AND build time (117 s vs
+    # 74 s — stragglers in a single wave). ~10k docs per split keeps
+    # per-task memory flat and lets AQE-era scheduling balance waves.
+    n_parts = int(
+        os.environ.get(
+            "BM25_BENCH_PARTITIONS", str(max(cpus, n_base * amplify // 10_000))
+        )
+    )
+    corpus = corpus.repartition(n_parts).persist()
     n_docs = corpus.count()
 
     timings: dict[str, float] = {}
@@ -89,30 +102,36 @@ def main() -> None:
     build_sec = time.perf_counter() - t0
     timings["index_build"] = round(build_sec, 3)
 
-    # settle build-side garbage before timing queries (query latency should
-    # not bill the build's GC debt), warm the term dictionary (what a search
-    # head does at startup), then pay one-time codegen/worker init
-    spark._jvm.System.gc()
-    from bm25_spark.operators.packed import warm_query_caches
+    # BM25_BENCH_PHASES=build stops after the build (phase-attributed
+    # memory measurement: tools/build_memory_proof.py samples worker peak
+    # RSS for the build alone vs the full suite)
+    phases = os.environ.get("BM25_BENCH_PHASES", "all")
+    if phases != "build":
+        # settle build-side garbage before timing queries (query latency
+        # should not bill the build's GC debt), warm the term dictionary
+        # (what a search head does at startup), then pay one-time
+        # codegen/worker init
+        spark._jvm.System.gc()
+        from bm25_spark.operators.packed import warm_query_caches
 
-    warm_query_caches(index)
-    search(index, "data", limit=5).collect()
-    # pay the one-time codegen for the empty-result LocalRelation too
-    search(index, "zz_absent_term_zz", limit=5).collect()
+        warm_query_caches(index)
+        search(index, "data", limit=5).collect()
+        # pay the one-time codegen for the empty-result LocalRelation too
+        search(index, "zz_absent_term_zz", limit=5).collect()
 
-    for name, q, k, flt in BENCH_QUERIES:
+        for name, q, k, flt in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            search(index, q, limit=k, flt=flt).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+        # batched query throughput: 20 queries in one plan
+        batch = [(i, f"{w} data table") for i, w in enumerate(
+            "scan filter join agg window key value row column slow fast "
+            "small large part order batch stream index term".split()
+        )]
         t0 = time.perf_counter()
-        search(index, q, limit=k, flt=flt).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-
-    # batched query throughput: 20 queries in one plan
-    batch = [(i, f"{w} data table") for i, w in enumerate(
-        "scan filter join agg window key value row column slow fast small "
-        "large part order batch stream index term".split()
-    )]
-    t0 = time.perf_counter()
-    search_batch(index, batch, limit=10).collect()
-    timings["q_batch20"] = round(time.perf_counter() - t0, 3)
+        search_batch(index, batch, limit=10).collect()
+        timings["q_batch20"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -123,10 +142,16 @@ def main() -> None:
         "sf": sf,
         "n_docs": n_docs,
         "turns_per_sec": round(n_docs / build_sec, 1),
-        "query_p50_sec": round(
-            sorted(timings[n] for n, *_ in
-                   [(x[0],) for x in BENCH_QUERIES])[len(BENCH_QUERIES) // 2],
-            3,
+        "query_p50_sec": (
+            round(
+                sorted(timings[n] for n, *_ in
+                       [(x[0],) for x in BENCH_QUERIES])[
+                    len(BENCH_QUERIES) // 2
+                ],
+                3,
+            )
+            if phases != "build"
+            else None
         ),
         "cores": cpus,
         "amplify": amplify,

@@ -68,11 +68,14 @@ def sample_peaks(stop: threading.Event, out: dict) -> None:
                 out[kind] = max(out.get(kind, 0), hwm)
 
 
-def run_level(amplify: int, shard_size: int | None = None) -> dict:
+def run_level(
+    amplify: int, shard_size: int | None = None, phases: str = "all"
+) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS="32",
         BM25_BENCH_AMPLIFY=str(amplify),
+        BM25_BENCH_PHASES=phases,
     )
     if shard_size:
         env["BM25_SHARD_SIZE"] = str(shard_size)
@@ -95,6 +98,7 @@ def run_level(amplify: int, shard_size: int | None = None) -> dict:
     return {
         "amplify": amplify,
         "shard_size": shard_size,
+        "phases": phases,
         "n_docs": bench["n_docs"],
         "index_build_sec": bench["queries"]["index_build"],
         "turns_per_sec": bench["turns_per_sec"],
@@ -112,8 +116,9 @@ def main() -> int:
     # with the corpus; under that sizing worker memory tracks shard_size,
     # which is the same statement.)
     shard_size = int(os.environ.get("PROOF_SHARD_SIZE", "50000"))
+    phases = os.environ.get("PROOF_PHASES", "build")
     levels = [int(x) for x in sys.argv[1:]] or [64, 640]
-    results = [run_level(a, shard_size) for a in levels]
+    results = [run_level(a, shard_size, phases) for a in levels]
     for r in results:
         print(json.dumps(r), flush=True)
     if len(results) >= 2:
@@ -125,7 +130,12 @@ def main() -> int:
             else None
         )
         print(json.dumps({
-            "claim": "task memory O(chunk_postings), not O(partition)",
+            "claim": (
+                "task memory O(chunk_postings), not O(partition)"
+                if phases == "build"
+                else "full-suite worker peak (build + query caches)"
+            ),
+            "phases": phases,
             "docs_ratio": round(ratio_docs, 1),
             "worker_peak_ratio": round(ratio_mem, 2) if ratio_mem else None,
             "verdict": (
