@@ -110,9 +110,18 @@ class BM25Index:
         pin = self.enc if self.enc is not None else self.flat
         if pin is not None:
             pin.persist(StorageLevel.MEMORY_AND_DISK)
-            pin.count()
         self.persist(persist_docs=persist_docs)
-        for df in self._physical():
+        post = self.packed if self.packed is not None else self.postings
+        # Count in COMPUTE order, not registration order: each count's own
+        # job computes-and-caches every uncached upstream it scans, so no
+        # table is materialized by one job and then re-scanned by the
+        # next. stats' job runs the tokenize+pack map stage and caches pin
+        # as a side effect of scanning it; terms' job runs the shuffle
+        # merge and caches packed the same way; the remaining counts are
+        # pure cache reads. (Registration above already happened in
+        # dependency order — that is what freezes the derived plans
+        # against pin's InMemoryRelation.)
+        for df in (self.stats, self.terms, post, self.docs):
             df.count()
         if pin is not None and pin is not self.docs:
             pin.unpersist()
