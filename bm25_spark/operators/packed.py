@@ -82,6 +82,16 @@ PACKED_FIELDS = StructType(
 DRIVER_PATH_MAX_POSTINGS = int(
     os.environ.get("BM25_DRIVER_PATH_MAX_POSTINGS", "20000000")
 )
+# The blob FETCH is shared across a batch's queries, but driver SCORING is
+# per-query single-threaded WAND — a batch of Q hot queries costs
+# ~Σ_q Σ_{t∈q} df(t) score-visits even when every blob is cached. Bound
+# that work independently of the fetch bound, or a large-Q batch of hot
+# terms silently serializes on the driver while 4N executors idle.
+# ~100M visits ≈ 1 s of driver numpy at 2026 single-core speed — the
+# measured floor of one cluster batch job; past it the cluster path wins.
+DRIVER_PATH_MAX_WORK = int(
+    os.environ.get("BM25_DRIVER_PATH_MAX_WORK", "100000000")
+)
 # Metadata filters: the driver path materializes the allowed doc-id set
 # locally only below this cardinality; bigger filters score on the cluster.
 DRIVER_PATH_MAX_ALLOWED = int(
@@ -1042,8 +1052,17 @@ def search_packed(
         terms_needed = sorted({t for _, t, _ in qrows})
         tmeta = _term_meta(index, terms_needed, partition_keys)
         total_df = sum(df for _, df in tmeta.values())
+        term_df: dict = {}
+        for (_pk, t), (_idf, df) in tmeta.items():
+            term_df[t] = term_df.get(t, 0) + df
+        # per-query scoring work (df re-counted once per query using the
+        # term, unlike total_df which bounds the one-time fetch volume)
+        work = sum(term_df.get(t, 0) for _, t, _ in qrows)
         allowed_by_pk = None
-        driver_ok = total_df <= DRIVER_PATH_MAX_POSTINGS
+        driver_ok = (
+            total_df <= DRIVER_PATH_MAX_POSTINGS
+            and work <= DRIVER_PATH_MAX_WORK
+        )
         if driver_ok and allowed is not None:
             # one CollectLimit job probes size AND fetches the ids (the
             # sentinel +1 row detects overflow); the materialized per-pk

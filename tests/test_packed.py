@@ -371,6 +371,48 @@ def test_packed_batch_and_empty(packed_synth):
     assert search_packed(packed_synth, [(0, "  ")], limit=5).count() == 0
 
 
+def test_dispatch_bounds_per_query_work(packed_synth, monkeypatch):
+    """Driver-path dispatch must bound PER-QUERY scoring work (Q x df),
+    not just the shared fetch volume: a large-Q batch of hot terms would
+    otherwise serialize single-threaded on the driver. Identical results
+    on both routes; route observed via cluster_stats population."""
+    from bm25_spark.operators import packed as packed_mod
+
+    queries = [(q, "spark stream data") for q in range(6)]
+
+    stats: dict = {}
+    auto = search_packed(packed_synth, queries, limit=5, cluster_stats=stats)
+    got_driver = {
+        (r["query_id"], r["rank"], r["doc_id"]) for r in auto.collect()
+    }
+    assert stats == {}  # small work: the driver path served it
+
+    # shrink the work bound: the same batch must route to the cluster
+    monkeypatch.setattr(packed_mod, "DRIVER_PATH_MAX_WORK", 1)
+    stats = {}
+    routed = search_packed(
+        packed_synth, queries, limit=5, cluster_stats=stats
+    )
+    got_cluster = {
+        (r["query_id"], r["rank"], r["doc_id"]) for r in routed.collect()
+    }
+    assert stats.get("n_tasks", 0) >= 1  # cluster path ran
+    assert got_cluster == got_driver
+
+    # a single query under the same tiny work bound also goes cluster,
+    # while the FETCH bound alone (df sum) would have kept it on the
+    # driver — the two bounds are independent
+    stats = {}
+    one = search_packed(
+        packed_synth, [(0, "spark stream data")], limit=5,
+        cluster_stats=stats,
+    )
+    assert stats.get("n_tasks", 0) >= 1
+    assert {
+        (r["query_id"], r["rank"], r["doc_id"]) for r in one.collect()
+    } == {x for x in got_driver if x[0] == 0}
+
+
 def test_cluster_batch_skew_rows_bounded(spark):
     """Zipf-hot term + filter across >=4 shards x >=2 query buckets: the
     bucket fan-out's replication cap (packed._cluster_scored) must hold in
