@@ -122,6 +122,8 @@ class BM25Index:
         # dependency order — that is what freezes the derived plans
         # against pin's InMemoryRelation.)
         for df in (self.stats, self.terms, post, self.docs):
+            if df is self.docs and not persist_docs:
+                continue  # not cached: a count would do nothing useful
             df.count()
         if pin is not None and pin is not self.docs:
             pin.unpersist()
