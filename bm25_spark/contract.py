@@ -542,7 +542,15 @@ def q_dedup_exact(spark, sf_dir):
 def q_jaccard_pairs(spark, sf_dir):
     from bm25_spark.operators.dedup import jaccard_pairs
 
-    return jaccard_pairs(_read_docs(spark, sf_dir), n=3, threshold=JACCARD_T)
+    # max_shingle_df=None: the DuckDB oracle computes the UNCAPPED
+    # semantics, so the contract must too — with a cap, a corpus carrying
+    # a shingle hotter than the cap could lose hot-only-overlap pairs and
+    # diverge. The capped path (candidate-gen bound + exact full-set
+    # verify) is covered by unit tests (test_training_ops).
+    return jaccard_pairs(
+        _read_docs(spark, sf_dir), n=3, threshold=JACCARD_T,
+        max_shingle_df=None,
+    )
 
 
 def q_minhash_sig(spark, sf_dir):

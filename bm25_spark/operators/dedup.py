@@ -76,13 +76,15 @@ def jaccard_pairs(
     """(a, b, jaccard): n-gram Jaccard near-dup pairs (a < b, jaccard >= t).
 
     Inverted-index candidate generation: pairs share >=1 shingle; hot
-    shingles above max_shingle_df are dropped from candidate generation
-    (boilerplate guard) — exact for pairs whose overlap includes any
-    sub-cap shingle. The default cap of 1000 bounds the worst single
-    shingle's contribution to ~5·10^5 candidate pairs (df·(df-1)/2); for
-    corpora where that still admits too much, ``minhash_lsh_pairs`` is the
-    scale route (its bucket keys are full-signature slices, not shared
-    n-grams).
+    shingles above max_shingle_df are dropped from candidate GENERATION
+    only (boilerplate guard) — the verify stage recounts intersections
+    over the FULL shingle sets, so every emitted pair carries its exact
+    jaccard. The cap's sole effect is coverage: a pair whose overlap is
+    hot shingles ONLY is never generated. The default cap of 1000 bounds
+    the worst single shingle's contribution to ~5·10^5 candidate pairs
+    (df·(df-1)/2); for corpora where that still admits too much,
+    ``minhash_lsh_pairs`` is the scale route (its bucket keys are
+    full-signature slices, not shared n-grams).
 
     Telemetry: pass ``stats={}`` to eagerly compute and log the coverage
     counters — ``dropped_hot_shingles`` (distinct shingles excluded by the
@@ -124,15 +126,56 @@ def jaccard_pairs(
             )
     else:
         sh_cand = sh
+        if stats is not None:
+            row = (
+                sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .select(
+                    F.count(F.lit(1)).alias("kept"),
+                    F.sum(F.col("df") * (F.col("df") - 1) / 2)
+                    .cast("long")
+                    .alias("cand"),
+                )
+                .collect()[0]
+            )
+            stats["dropped_hot_shingles"] = 0
+            stats["kept_shingles"] = int(row["kept"] or 0)
+            stats["candidate_pairs"] = int(row["cand"] or 0)
+            logger.info(
+                "jaccard_pairs: uncapped (max_shingle_df=None) "
+                "kept_shingles=%d candidate_pairs=%d",
+                stats["kept_shingles"], stats["candidate_pairs"],
+            )
     a, b = sh_cand.alias("a"), sh_cand.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
+    if max_shingle_df is not None and sh_cand is not sh:
+        # candidates from sub-cap shingles; EXACT verify over the full
+        # shingle sets (hot shingles count toward inter — the cap bounds
+        # generation volume, never the emitted pair's jaccard)
+        cand = (
+            a.join(b, "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
+            )
+            .distinct()
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+        sha = sh.select(F.col("doc_id").alias("a"), "shingle")
+        shb = sh.select(F.col("doc_id").alias("b"), "shingle")
+        inter = (
+            cand.join(sha, "a")
+            .join(shb, ["b", "shingle"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
     return (

@@ -93,10 +93,29 @@ def _pil_available() -> bool:
         return False
 
 
+def _resolve_backend(backend: str) -> str:
+    """Resolve ``'auto'`` ONCE, on the driver, at stage-construction time —
+    one consistent choice for the whole job. (Resolving per-executor would
+    silently mix real-decode and stub rows in a single result on a cluster
+    where only some executors have Pillow; with driver resolution, a
+    misconfigured executor instead fails loudly with ImportError.)"""
+    if backend == "auto":
+        resolved = "pil" if _pil_available() else "stub"
+        import logging
+
+        logging.getLogger(__name__).info(
+            "image decode backend='auto' resolved to %r on the driver",
+            resolved,
+        )
+        return resolved
+    if backend not in ("pil", "stub"):
+        raise ValueError(f"unknown decode backend: {backend!r}")
+    return backend
+
+
 def get_decoder(backend: str = "auto"):
-    """Image-decode backend dispatch, resolved ON THE EXECUTOR (the
-    returned callable does the import lazily inside the task, so the
-    driver never needs the lib installed):
+    """Image-decode backend dispatch. The returned callable imports its
+    lib lazily inside the task:
 
     - ``'pil'``  — Pillow (real decode); ImportError if absent
     - ``'stub'`` — deterministic md5-derived fake (always available;
@@ -105,29 +124,63 @@ def get_decoder(backend: str = "auto"):
 
     Decode stages below take ``backend`` and default to 'auto': real
     decode wherever Pillow exists, the deterministic stub elsewhere (this
-    sandbox). Pass ``'stub'`` explicitly when determinism across
-    environments matters (the contract oracle does — it mirrors the
-    stub's md5-derived pixels)."""
-    if backend == "auto":
-        backend = "pil" if _pil_available() else "stub"
+    sandbox). Under auto-resolved 'pil', a blob Pillow cannot decode falls
+    back to the stub PER ROW (logged with a count) instead of failing the
+    job — non-image bytes (attach_blobs' fakes, corrupt files in a real
+    100 TB crawl) must not kill the stage when the user never asked for
+    strict decoding. Explicit ``'pil'`` stays strict: you asked for real
+    decode, so corrupt data raises. Pass ``'stub'`` explicitly when
+    determinism across environments matters (the contract oracle does —
+    it mirrors the stub's md5-derived pixels)."""
+    backend = _resolve_backend(backend)
     if backend == "pil":
         if not _pil_available():
             raise ImportError(
                 "backend='pil' requires Pillow (pip install pillow)"
             )
         return _decode_pil
-    if backend == "stub":
-        return _decode_stub
-    raise ValueError(f"unknown decode backend: {backend!r}")
+    return _decode_stub
+
+
+def _row_decoder(backend: str):
+    """(resolved_backend, lenient) -> per-row decode callable for the
+    mapInPandas stages; lenient wraps pil with a stub fallback."""
+    resolved = _resolve_backend(backend)
+    lenient = backend == "auto" and resolved == "pil"
+
+    def make():
+        decode = get_decoder(resolved)
+        if not lenient:
+            return decode
+        state = {"fallbacks": 0}
+
+        def dec(blob: bytes):
+            try:
+                return decode(blob)
+            except Exception:
+                if state["fallbacks"] == 0:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "auto/pil decode failed; falling back to stub "
+                        "pixels for undecodable blobs in this task"
+                    )
+                state["fallbacks"] += 1
+                return _decode_stub(blob)
+
+        return dec
+
+    return make
 
 
 def decode_images(blobs: DataFrame, backend: str = "auto") -> DataFrame:
     """(doc_id, byte_len, width, height, channels, mean_pixel): decode +
     feature-extract via mapInPandas — Arrow batches in, Arrow batches out;
     partitioning preserved (narrow). ``backend``: see get_decoder."""
+    make_decoder = _row_decoder(backend)
 
     def run(batches):
-        decode = get_decoder(backend)
+        decode = make_decoder()
         for pdf in batches:
             out = {
                 "doc_id": pdf["doc_id"].astype("int64"),
@@ -150,9 +203,10 @@ def resize_images(
 ) -> DataFrame:
     """(doc_id, blob): resize = decode + nearest-neighbor subsample +
     re-encode (bytes of the resized array). ``backend``: see get_decoder."""
+    make_decoder = _row_decoder(backend)
 
     def run(batches):
-        decode = get_decoder(backend)
+        decode = make_decoder()
         for pdf in batches:
             out_blobs = []
             for b in pdf["blob"]:

@@ -136,10 +136,16 @@ def ivf_refine_centroids(
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
     """Lloyd (k-means) refinement of IVF centroids: ``iters`` passes, each
-    one assign + groupBy-avg shuffle. Deterministic given the input
-    centroids (the seed sample is already RNG-free). Cosine assignment is
-    scale-invariant, so the plain coordinate mean is a valid spherical
-    k-means update (normalizing the mean would not change any argmax).
+    one FULL scan of ``embeddings`` + groupBy-avg shuffle (Lloyd updates
+    need every vector's assignment — persist the input upstream when
+    running several passes over a large table). RNG-free, but only
+    deterministic up to floating-point summation order: F.avg's partial
+    aggregation adds in partition order, so near-tie vectors can flip
+    cells across runs — pin ``refine_iters=0`` where bit-exact
+    reproducibility is required (the contract oracle does). Cosine
+    assignment is scale-invariant, so the plain coordinate mean is a
+    valid spherical k-means update (normalizing the mean would not change
+    any argmax).
 
     Plan per iteration: one narrow cell assignment (`_cell_expr` inlines
     the current centroids as literals — no UDF, no broadcast), then
@@ -149,8 +155,8 @@ def ivf_refine_centroids(
     their previous centroid (the standard Lloyd convention), so the cell
     count is stable for consumers."""
     cur = centroids
+    v = _prep(embeddings, id_col, vec_col)
     for _ in range(iters):
-        v = _prep(embeddings, id_col, vec_col)
         assigned = v.withColumn("cell", _cell_expr(cur))
         means = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
@@ -206,9 +212,10 @@ def ivf_cells(
     centroids inlined as literals (broadcast-free; they ARE the plan). At
     scale, write this out partitioned/bucketed by ``cell`` so ivf_topk's
     probe reads only nprobe cells off storage (partition pruning).
-    ``refine_iters`` > 0 runs that many Lloyd passes over the seed sample
-    first (ivf_refine_centroids) — better-balanced cells and higher recall
-    at fixed nprobe, for refine_iters extra build-time shuffles."""
+    ``refine_iters`` > 0 first runs that many Lloyd passes over the FULL
+    embeddings table starting from the seeded centroids
+    (ivf_refine_centroids) — better-balanced cells and higher recall at
+    fixed nprobe, for one extra full scan + shuffle per pass."""
     if centroids is None:
         centroids = ivf_seed_centroids(embeddings, nlist, id_col, vec_col)
         if refine_iters:

@@ -137,6 +137,53 @@ def test_jaccard_pairs(docs):
     assert (0, 3) not in got
 
 
+def test_jaccard_hot_shingle_cap_exact_verify(spark):
+    """The hot-shingle cap bounds candidate GENERATION only: a pair found
+    via a cold shingle must still count its hot shingles in the exact
+    verify, and the uncapped path must populate stats too."""
+    import datetime as dt
+
+    from bm25_spark.sources.datagen import TRANSCRIPT_SCHEMA
+
+    t0 = dt.datetime(2026, 1, 1)
+    hot = "alpha beta gamma"  # one shared 3-shingle in EVERY doc
+    rows = [
+        ("c", i, "user", f"{hot} filler{i} tail{i} end{i}", None,
+         t0 + dt.timedelta(seconds=i))
+        for i in range(6)
+    ]
+    # docs 0 and 1 also share a COLD trigram ("shared cold thing")
+    rows[0] = ("c", 0, "user", f"{hot} shared cold thing zero", None, t0)
+    rows[1] = ("c", 1, "user", f"{hot} shared cold thing one", None, t0)
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA).withColumn(
+        "doc_id", F.col("turn_idx").cast("long")
+    )
+
+    # cap=3: every shingle of the hot run (df=6) is dropped from candidate
+    # generation, but pair (0,1) is generated via its cold shingles
+    got = {(r["a"], r["b"]): r["jaccard"] for r in dedup.jaccard_pairs(
+        df, n=3, threshold=0.05, text_col="text", max_shingle_df=3
+    ).collect()}
+    s0 = _py_shingles(f"{hot} shared cold thing zero")
+    s1 = _py_shingles(f"{hot} shared cold thing one")
+    want = round(len(s0 & s1) / len(s0 | s1), 4)
+    assert got[(0, 1)] == want  # hot shingles COUNTED in inter
+    # pairs whose only overlap is hot shingles are not generated
+    assert (2, 3) not in got
+
+    # uncapped path fills stats as well
+    ustats: dict = {}
+    un = {(r["a"], r["b"]): r["jaccard"] for r in dedup.jaccard_pairs(
+        df, n=3, threshold=0.05, text_col="text", max_shingle_df=None,
+        stats=ustats,
+    ).collect()}
+    assert ustats["dropped_hot_shingles"] == 0
+    assert ustats["kept_shingles"] > 0
+    assert ustats["candidate_pairs"] >= 15  # hot shingle joins all pairs
+    assert un[(0, 1)] == want
+    assert (2, 3) in un  # hot-only overlap present without the cap
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     got = {(r["a"], r["b"]): r["jaccard"] for r in
            dedup.minhash_lsh_pairs(docs, num_perm=16, bands=8, threshold=0.3).collect()}
@@ -418,6 +465,41 @@ def test_decoder_dispatch_errors():
             multimodal.get_decoder("pil")
         # auto falls back to the stub when Pillow is absent
         assert multimodal.get_decoder("auto") is multimodal._decode_stub
+
+
+def test_auto_pil_falls_back_to_stub_per_row(monkeypatch):
+    """On a Pillow-equipped host, backend='auto' must not fail the job on
+    blobs Pillow cannot decode (attach_blobs' fakes; corrupt files in a
+    real crawl): undecodable rows fall back to the stub per row, while an
+    explicit 'pil' stays strict. Exercised on _row_decoder directly (the
+    per-row callable the mapInPandas stages build); a worker-side
+    monkeypatch cannot cross the Python-worker process boundary, and the
+    Spark plumbing itself is covered by the stub-backend tests."""
+
+    def fake_pil_decode(blob: bytes):
+        raise ValueError("cannot identify image file")
+
+    monkeypatch.setattr(multimodal, "_pil_available", lambda: True)
+    monkeypatch.setattr(multimodal, "_decode_pil", fake_pil_decode)
+
+    payload = b"definitely not an image"
+    dec = multimodal._row_decoder("auto")()  # auto -> pil (patched), lenient
+    got = dec(payload)
+    assert np.array_equal(got, multimodal._decode_stub(payload))
+
+    # explicit 'pil' stays STRICT: the user asked for real decode, so the
+    # undecodable blob raises instead of silently degrading
+    strict = multimodal._row_decoder("pil")()
+    with pytest.raises(ValueError):
+        strict(payload)
+
+    # and 'auto' on a Pillow-less host resolves to the stub outright
+    monkeypatch.setattr(multimodal, "_pil_available", lambda: False)
+    assert multimodal._row_decoder("auto")()(payload) is not None
+    assert np.array_equal(
+        multimodal._row_decoder("auto")()(payload),
+        multimodal._decode_stub(payload),
+    )
 
 
 def test_multimodal_plumbing(docs):

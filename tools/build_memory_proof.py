@@ -46,10 +46,51 @@ def _cmdline(pid: int) -> str:
         return ""
 
 
-def sample_peaks(stop: threading.Event, out: dict) -> None:
-    """Track max VmHWM over all python worker processes (pyspark.daemon
-    and its forked workers) and the Spark JVM, at ~1 Hz."""
+def _ppid(pid: int) -> int | None:
+    try:
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("PPid:"):
+                    return int(line.split()[1])
+    except OSError:
+        return None
+    return None
+
+
+def _is_descendant(pid: int, root: int, cache: dict) -> bool:
+    """pid is in root's process tree (ancestry walk, memoized). Restricting
+    the sampler to the benchmarked child keeps a neighbor Spark job on the
+    same box from contributing ITS workers' VmHWM to the proof."""
+    chain = []
+    cur = pid
+    for _ in range(64):
+        if cur in cache:
+            res = cache[cur]
+            break
+        if cur == root:
+            res = True
+            break
+        if cur in (0, 1, None):
+            res = False
+            break
+        chain.append(cur)
+        cur = _ppid(cur)
+    else:
+        res = False
+    for p in chain:
+        cache[p] = res
+    return res
+
+
+def sample_peaks(stop: threading.Event, out: dict, root_pid_box: dict) -> None:
+    """Track max VmHWM over the benchmarked child's python worker
+    processes (pyspark.daemon and its forked workers) and its Spark JVM,
+    at ~1 Hz. Processes outside the child's tree are ignored."""
     while not stop.wait(1.0):
+        root = root_pid_box.get("pid")
+        if root is None:
+            continue
+        anc_cache: dict = {}
         for pid_s in os.listdir("/proc"):
             if not pid_s.isdigit():
                 continue
@@ -62,6 +103,8 @@ def sample_peaks(stop: threading.Event, out: dict) -> None:
             ):
                 kind = "jvm"
             else:
+                continue
+            if not _is_descendant(pid, root, anc_cache):
                 continue
             hwm = _vmhwm_kb(pid)
             if hwm:
@@ -80,21 +123,39 @@ def run_level(
     if shard_size:
         env["BM25_SHARD_SIZE"] = str(shard_size)
     peaks: dict = {}
+    root_box: dict = {}
     stop = threading.Event()
-    t = threading.Thread(target=sample_peaks, args=(stop, peaks), daemon=True)
+    t = threading.Thread(
+        target=sample_peaks, args=(stop, peaks, root_box), daemon=True
+    )
     t.start()
     t0 = time.perf_counter()
     try:
-        out = subprocess.run(
+        proc = subprocess.Popen(
             [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env, capture_output=True, text=True, timeout=3600,
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
         )
+        root_box["pid"] = proc.pid
+        stdout, stderr = proc.communicate(timeout=3600)
     finally:
         stop.set()
         t.join(timeout=5)
     wall = round(time.perf_counter() - t0, 1)
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    bench = json.loads(line)
+    lines = [l for l in stdout.strip().splitlines() if l.startswith("{")]
+    if proc.returncode != 0 or not lines:
+        # the failure itself is the finding at 10x scale: report the
+        # diagnostics and the peaks sampled up to the crash, loudly
+        sys.stderr.write(stderr[-4000:])
+        raise RuntimeError(
+            f"bench.py (amplify={amplify}, phases={phases}) exited "
+            f"{proc.returncode} with "
+            f"{'no JSON line' if not lines else 'output'}; sampled peaks "
+            f"up to the failure: python_worker="
+            f"{round(peaks.get('python_worker', 0) / 1024)} MB, "
+            f"jvm={round(peaks.get('jvm', 0) / 1024)} MB"
+        )
+    bench = json.loads(lines[-1])
     return {
         "amplify": amplify,
         "shard_size": shard_size,
@@ -122,7 +183,10 @@ def main() -> int:
     for r in results:
         print(json.dumps(r), flush=True)
     if len(results) >= 2:
-        lo, hi = results[0], results[-1]
+        # smallest vs largest corpus regardless of argv order — reversed
+        # levels must not flip the ratio below the verdict threshold
+        by_docs = sorted(results, key=lambda r: r["n_docs"])
+        lo, hi = by_docs[0], by_docs[-1]
         ratio_docs = hi["n_docs"] / lo["n_docs"]
         ratio_mem = (
             hi["peak_python_worker_mb"] / lo["peak_python_worker_mb"]
