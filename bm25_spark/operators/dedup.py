@@ -277,35 +277,38 @@ def simhash(docs: DataFrame, bits: int = 60, text_col: str = "text") -> DataFram
     """(doc_id, simhash): b-bit SimHash over analyzer tokens (tf-weighted).
     Bit i of md5-hex60(token) votes ±tf; sign of the sum sets the bit.
     Default 60 bits (the full hex60 width) — narrow hashes collide far too
-    often at corpus scale and make ``simhash_pairs`` band keys degenerate."""
-    toks = (
-        docs.select("doc_id", F.explode(_tokens_col(text_col)).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("h", _hex60(F.md5(F.col("tok"))))
-    )
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    votes = (
-        toks.select("doc_id", "tf", "h", bit)
-        .withColumn(
-            "vote",
-            F.when(
-                F.expr("(h >> bit) & 1") == 1, F.col("tf")
-            ).otherwise(-F.col("tf")),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return (
-        votes.withColumn(
-            "bitval",
-            F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").cast("long").alias("simhash"))
-    )
+    often at corpus scale and make ``simhash_pairs`` band keys degenerate.
+
+    Plan shape (one shuffle, no per-bit row explosion): each token
+    OCCURRENCE votes ±1 per bit — summed per doc that is exactly the
+    ±tf-per-unique-token vote, in exact integer arithmetic — so the whole
+    signature is ONE groupBy(doc_id) carrying ``bits`` partially-
+    aggregatable SUM columns. Map-side combine collapses each task's rows
+    to one partial row per doc BEFORE the exchange, so the shuffle moves
+    ~docs rows of ``bits`` longs instead of docs × tokens × bits vote
+    rows (the previous per-bit explode), and the earlier (doc_id, tok)
+    pre-aggregation shuffle is gone entirely."""
+    if not 1 <= bits <= 60:
+        raise ValueError(f"simhash: bits must be in 1..60 (got {bits})")
+    occ = docs.select(
+        "doc_id", F.explode(_tokens_col(text_col)).alias("tok")
+    ).withColumn("h", _hex60(F.md5(F.col("tok"))))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(h >> {i}) & 1") == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    per_doc = occ.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(bits):
+        bitval = F.when(
+            F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bitval if sig is None else sig + bitval
+    return per_doc.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_pairs(

@@ -17,9 +17,38 @@
 from __future__ import annotations
 
 import hashlib
+import logging
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+logger = logging.getLogger("bm25_spark.similarity")
+
+# Literal-inlined plans (centroids / hyperplanes folded into the expression
+# tree) are the fastest path for small matrices — no broadcast, pure
+# whole-stage codegen — but an O(nlist*dim) or O(n_planes*dim) expression
+# tree breaks analysis/codegen at production sizes (nlist 4096 x dim 768).
+# Above this many literal terms, the same math runs as ONE vectorized
+# mapInPandas over a sparkContext.broadcast numpy matrix instead.
+LITERAL_PLAN_MAX_TERMS = 4096
+
+
+def _resolve_impl(impl: str, n_terms: int) -> str:
+    """'auto' -> 'literal' (inlined expression) or 'pandas' (broadcast
+    matrix + vectorized numpy) by the literal-term budget."""
+    if impl == "auto":
+        chosen = "literal" if n_terms <= LITERAL_PLAN_MAX_TERMS else "pandas"
+        if chosen == "pandas":
+            logger.info(
+                "similarity: %d literal terms > %d — using broadcast-"
+                "matrix mapInPandas instead of an inlined plan",
+                n_terms, LITERAL_PLAN_MAX_TERMS,
+            )
+        return chosen
+    if impl not in ("literal", "pandas"):
+        raise ValueError(f"unknown impl {impl!r}")
+    return impl
 
 
 def _norm_col(v: str = "v") -> F.Column:
@@ -84,11 +113,25 @@ def lsh_buckets(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "auto",
 ) -> DataFrame:
     """(id, v, nrm, bucket): sign-of-projection bucket per vector. One
-    narrow pass; at scale, write bucketed-by-``bucket`` for probe pruning."""
+    narrow pass; at scale, write bucketed-by-``bucket`` for probe pruning.
+
+    ``impl``: 'literal' inlines the plane vectors into the plan (fastest
+    for small n_planes*dim); 'pandas' broadcasts the plane matrix and
+    projects one Arrow batch at a time with a single numpy GEMM — the
+    production path for real embedding dims (768+), where a literal
+    expression tree would bloat analysis/codegen. 'auto' (default) picks
+    by LITERAL_PLAN_MAX_TERMS. Both produce identical buckets (strict
+    ``proj > 0`` sign test; per-component products differ only in
+    summation order, asserted identical on dense fixtures in tests)."""
+    if n_planes > 63:
+        raise ValueError("n_planes must be <= 63 (bucket is a 64-bit long)")
     v = _prep(embeddings, id_col, vec_col)
     planes = hyperplanes(n_planes, dim)
+    if _resolve_impl(impl, n_planes * dim) == "pandas":
+        return _lsh_buckets_pandas(v, planes)
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
         arr = F.array(*[F.lit(x) for x in plane])
@@ -101,6 +144,33 @@ def lsh_buckets(
             F.lit(0).cast("long")
         )
     return v.withColumn("bucket", bucket)
+
+
+def _lsh_buckets_pandas(v: DataFrame, planes: list[list[float]]) -> DataFrame:
+    """Broadcast the (n_planes x dim) plane matrix once; per Arrow batch,
+    one numpy GEMM + sign-weighted sum. Narrow (no shuffle), same bucket
+    semantics as the literal path."""
+    import numpy as np
+
+    spark = v.sparkSession
+    P = np.asarray(planes, dtype=np.float64)
+    weights = (1 << np.arange(len(planes), dtype=np.int64)).astype(np.int64)
+    bc = spark.sparkContext.broadcast((P, weights))
+    schema = T.StructType(
+        list(v.schema.fields) + [T.StructField("bucket", T.LongType())]
+    )
+
+    def run(batches):
+        P_, w_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(bucket=np.array([], dtype=np.int64))
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            proj = V @ P_.T  # (batch, n_planes)
+            yield pdf.assign(bucket=((proj > 0) @ w_).astype(np.int64))
+
+    return v.mapInPandas(run, schema)
 
 
 def ivf_seed_centroids(
@@ -134,46 +204,59 @@ def ivf_refine_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "auto",
 ) -> list[tuple[int, list[float]]]:
     """Lloyd (k-means) refinement of IVF centroids: ``iters`` passes, each
     one FULL scan of ``embeddings`` + groupBy-avg shuffle (Lloyd updates
-    need every vector's assignment — persist the input upstream when
-    running several passes over a large table). RNG-free, but only
-    deterministic up to floating-point summation order: F.avg's partial
-    aggregation adds in partition order, so near-tie vectors can flip
-    cells across runs — pin ``refine_iters=0`` where bit-exact
+    need every vector's assignment; for ``iters > 1`` the prepped input is
+    persisted here for the duration of the passes, so an unpersisted
+    parquet source is read+normalized once, not once per pass). RNG-free,
+    but only deterministic up to floating-point summation order: F.avg's
+    partial aggregation adds in partition order, so near-tie vectors can
+    flip cells across runs — pin ``refine_iters=0`` where bit-exact
     reproducibility is required (the contract oracle does). Cosine
     assignment is scale-invariant, so the plain coordinate mean is a
     valid spherical k-means update (normalizing the mean would not change
     any argmax).
 
-    Plan per iteration: one narrow cell assignment (`_cell_expr` inlines
-    the current centroids as literals — no UDF, no broadcast), then
-    posexplode to (cell, pos, value) and avg — partially aggregatable, so
-    map-side combine reduces the shuffle to ~tasks × nlist × dim rows;
-    only nlist × dim averaged values reach the driver. Empty cells keep
-    their previous centroid (the standard Lloyd convention), so the cell
-    count is stable for consumers."""
+    Plan per iteration: one narrow cell assignment (`_assign_cells`:
+    literal expression for small nlist*dim, broadcast-matrix mapInPandas
+    past LITERAL_PLAN_MAX_TERMS — see ivf_cells), then posexplode to
+    (cell, pos, value) and avg — partially aggregatable, so map-side
+    combine reduces the shuffle to ~tasks × nlist × dim rows; only
+    nlist × dim averaged values reach the driver. Empty cells keep their
+    previous centroid (the standard Lloyd convention), so the cell count
+    is stable for consumers."""
     cur = centroids
     v = _prep(embeddings, id_col, vec_col)
-    for _ in range(iters):
-        assigned = v.withColumn("cell", _cell_expr(cur))
-        means = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "m"))
-                ).alias("s")
+    persisted = False
+    if iters > 1:
+        from pyspark import StorageLevel
+
+        v = v.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted = True
+    try:
+        for _ in range(iters):
+            assigned = _assign_cells(v, cur, impl)
+            means = (
+                assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.avg("x").alias("m"))
+                .groupBy("cell")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "m"))
+                    ).alias("s")
+                )
+                .select("cell", F.col("s.m").alias("centroid"))
+                .collect()
             )
-            .select("cell", F.col("s.m").alias("centroid"))
-            .collect()
-        )
-        by_cell = {int(r["cell"]): [float(x) for x in r["centroid"]]
-                   for r in means}
-        cur = [(c, by_cell.get(c, prev)) for c, prev in cur]
+            by_cell = {int(r["cell"]): [float(x) for x in r["centroid"]]
+                       for r in means}
+            cur = [(c, by_cell.get(c, prev)) for c, prev in cur]
+    finally:
+        if persisted:
+            v.unpersist()
     return cur
 
 
@@ -200,6 +283,57 @@ def _cell_expr(centroids: list[tuple[int, list[float]]]) -> F.Column:
     return (-best["negc"]).cast("int")
 
 
+def _assign_cells_pandas(
+    v: DataFrame, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Nearest-centroid assignment for LARGE nlist*dim: the centroid matrix
+    is one sparkContext.broadcast (nlist x dim doubles, e.g. 25 MB at
+    nlist=4096, dim=768), and each Arrow batch is one numpy GEMM + argmax —
+    bounded plan size at any nlist/dim, same argmax-cosine math and
+    ties->smallest-cell break as _cell_expr (np.argmax returns the FIRST
+    max; centroids are processed in ascending cell order). Narrow: no
+    shuffle, partitioning preserved."""
+    import numpy as np
+
+    spark = v.sparkSession
+    order = sorted(centroids, key=lambda t: t[0])
+    ids = np.asarray([c for c, _ in order], dtype=np.int64)
+    C = np.asarray([cv for _, cv in order], dtype=np.float64)
+    Cn = np.sqrt((C * C).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, C, Cn))
+    schema = T.StructType(
+        list(v.schema.fields) + [T.StructField("cell", T.IntegerType())]
+    )
+
+    def run(batches):
+        ids_, C_, Cn_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(cell=np.array([], dtype=np.int32))
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            S = (V @ C_.T) / np.outer(
+                pdf["nrm"].to_numpy(dtype=np.float64), Cn_
+            )
+            yield pdf.assign(
+                cell=ids_[np.argmax(S, axis=1)].astype(np.int32)
+            )
+
+    return v.mapInPandas(run, schema)
+
+
+def _assign_cells(
+    v: DataFrame, centroids: list[tuple[int, list[float]]], impl: str = "auto"
+) -> DataFrame:
+    """Dispatch cell assignment: inlined-literal expression for small
+    centroid sets, broadcast-matrix mapInPandas past the literal-plan
+    budget (LITERAL_PLAN_MAX_TERMS total nlist*dim terms)."""
+    dim = len(centroids[0][1]) if centroids else 0
+    if _resolve_impl(impl, len(centroids) * dim) == "pandas":
+        return _assign_cells_pandas(v, centroids)
+    return v.withColumn("cell", _cell_expr(centroids))
+
+
 def ivf_cells(
     embeddings: DataFrame,
     nlist: int = 8,
@@ -207,23 +341,59 @@ def ivf_cells(
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
     refine_iters: int = 0,
+    impl: str = "auto",
+    stats: dict | None = None,
 ) -> DataFrame:
-    """(id, v, nrm, cell): IVF cell assignment — one narrow pass with the
-    centroids inlined as literals (broadcast-free; they ARE the plan). At
+    """(id, v, nrm, cell): IVF cell assignment — one narrow pass. Small
+    nlist*dim inlines the centroids as literals (broadcast-free; they ARE
+    the plan); past LITERAL_PLAN_MAX_TERMS the same argmax-cosine runs as
+    a broadcast centroid matrix + one vectorized mapInPandas GEMM per
+    Arrow batch, keeping the plan bounded at production sizes (nlist 4096
+    x dim 768+). ``impl`` forces 'literal'/'pandas' ('auto' picks). At
     scale, write this out partitioned/bucketed by ``cell`` so ivf_topk's
     probe reads only nprobe cells off storage (partition pruning).
     ``refine_iters`` > 0 first runs that many Lloyd passes over the FULL
     embeddings table starting from the seeded centroids
     (ivf_refine_centroids) — better-balanced cells and higher recall at
-    fixed nprobe, for one extra full scan + shuffle per pass."""
+    fixed nprobe, for one extra full scan + shuffle per pass.
+
+    Telemetry: pass ``stats={}`` to eagerly compute and log the cell-size
+    histogram — ``cell_sizes`` ({cell: rows}), ``nonempty_cells``, and
+    ``max_cell``/``min_cell``/``mean_cell`` over nonempty cells (skew at
+    a glance: a max_cell >> mean_cell means nprobe probes do unbalanced
+    work — add Lloyd passes). One cheap count-by-cell aggregation; the
+    returned DataFrame is unaffected."""
     if centroids is None:
         centroids = ivf_seed_centroids(embeddings, nlist, id_col, vec_col)
         if refine_iters:
             centroids = ivf_refine_centroids(
-                embeddings, centroids, refine_iters, id_col, vec_col
+                embeddings, centroids, refine_iters, id_col, vec_col,
+                impl=impl,
             )
     v = _prep(embeddings, id_col, vec_col)
-    return v.withColumn("cell", _cell_expr(centroids))
+    assigned = _assign_cells(v, centroids, impl)
+    if stats is not None:
+        hist = {
+            int(r["cell"]): int(r["c"])
+            for r in assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        sizes = sorted(hist.values())
+        stats["cell_sizes"] = hist
+        stats["nonempty_cells"] = len(sizes)
+        stats["max_cell"] = sizes[-1] if sizes else 0
+        stats["min_cell"] = sizes[0] if sizes else 0
+        stats["mean_cell"] = (
+            round(sum(sizes) / len(sizes), 2) if sizes else 0.0
+        )
+        logger.info(
+            "ivf_cells: nlist=%d nonempty=%d min/mean/max cell size "
+            "%d/%.1f/%d",
+            len(centroids), stats["nonempty_cells"], stats["min_cell"],
+            stats["mean_cell"], stats["max_cell"],
+        )
+    return assigned
 
 
 def ivf_topk(
@@ -236,6 +406,8 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
     refine_iters: int = 0,
+    impl: str = "auto",
+    stats: dict | None = None,
 ) -> DataFrame:
     """(query_id, id, cosine, rank): IVF approximate top-k — score only the
     rows whose cell is among the ``nprobe`` cells whose centroids are
@@ -244,15 +416,20 @@ def ivf_topk(
     ``refine_iters`` Lloyd passes (build-time) raise recall at fixed
     nprobe on clustered data. The probe-cell choice runs on the driver
     over the nlist centroids (tiny); candidate scoring is one cell-pruned
-    scan + broadcast join."""
+    scan + broadcast join. ``impl``/``stats``: see ivf_cells (assignment
+    strategy and cell-size telemetry)."""
     spark = embeddings.sparkSession
     if centroids is None:
         centroids = ivf_seed_centroids(embeddings, nlist, id_col, vec_col)
         if refine_iters:
             centroids = ivf_refine_centroids(
-                embeddings, centroids, refine_iters, id_col, vec_col
+                embeddings, centroids, refine_iters, id_col, vec_col,
+                impl=impl,
             )
-    cells = ivf_cells(embeddings, nlist, id_col, vec_col, centroids)
+    cells = ivf_cells(
+        embeddings, nlist, id_col, vec_col, centroids, impl=impl,
+        stats=stats,
+    )
 
     def probe_cells(vec: list[float]) -> list[int]:
         qn = sum(x * x for x in vec) ** 0.5
@@ -300,13 +477,17 @@ def lsh_topk(
     multiprobe_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "auto",
 ) -> DataFrame:
     """(query_id, id, cosine, rank): approximate top-k — probe buckets whose
     signature is within ``multiprobe_hamming`` of the query's. Recall is
-    tunable via n_planes/multiprobe (validated vs brute_topk in tests)."""
+    tunable via n_planes/multiprobe (validated vs brute_topk in tests).
+    ``impl``: bucket-signature strategy, see lsh_buckets."""
     spark = embeddings.sparkSession
     dim = len(query_vecs[0][1])
-    bucketed = lsh_buckets(embeddings, n_planes, dim, id_col, vec_col)
+    bucketed = lsh_buckets(
+        embeddings, n_planes, dim, id_col, vec_col, impl=impl
+    )
     planes = hyperplanes(n_planes, dim)
 
     def sig(vec: list[float]) -> int:

@@ -236,6 +236,13 @@ def test_dedup_candidate_volume_is_linear(spark):
         rows.append((5000 + j, rows[j][1] + " extraword"))
     big = spark.createDataFrame(rows, "doc_id long, text string")
 
+    # plan shape: the signature is ONE groupBy(doc_id) over the token
+    # explode — no per-bit row explosion (the shuffle moves ~docs rows of
+    # 60 partial sums, not docs*tokens*60 vote rows). Exactly one Generate
+    # (the token explode) and one exchange feed the aggregate.
+    plan = dedup.simhash(big)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Generate") == 1, plan
+
     stats: dict = {}
     dedup.simhash_pairs(big, stats=stats)  # defaults: bits=60, 20-bit keys
     n = len(rows)
