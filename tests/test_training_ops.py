@@ -410,6 +410,88 @@ def test_ivf_cells_partition_the_corpus(emb):
         assert by_id[sid] == cell
 
 
+def test_ivf_assignment_pandas_matches_literal(spark):
+    """The broadcast-matrix mapInPandas cell assignment (the production
+    path past LITERAL_PLAN_MAX_TERMS) must agree with the literal-inlined
+    expression path on every vector: same argmax-cosine, same
+    ties->smallest-cell break."""
+    rng = np.random.default_rng(21)
+    dim, n = 64, 400
+    rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(n)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.ivf_seed_centroids(e, nlist=32)
+    lit = {r["id"]: r["cell"] for r in
+           similarity.ivf_cells(e, centroids=cents, impl="literal").collect()}
+    pan = {r["id"]: r["cell"] for r in
+           similarity.ivf_cells(e, centroids=cents, impl="pandas").collect()}
+    assert lit == pan
+    # duplicated centroid -> exact cosine tie: both paths pick the
+    # smaller cell id
+    tie_cents = [(0, cents[0][1]), (1, cents[0][1]), (2, cents[1][1])]
+    lit_t = {r["id"]: r["cell"] for r in
+             similarity.ivf_cells(e, centroids=tie_cents, impl="literal").collect()}
+    pan_t = {r["id"]: r["cell"] for r in
+             similarity.ivf_cells(e, centroids=tie_cents, impl="pandas").collect()}
+    assert lit_t == pan_t
+    assert 1 not in set(lit_t.values())  # tie always resolves to cell 0
+
+
+def test_ivf_large_nlist_dim_bounded_plan(spark):
+    """nlist=512 x dim=256 (131k literal terms — far past the literal-plan
+    budget): auto must route to the pandas path, the ANALYZED plan must
+    stay bounded (no O(nlist*dim) expression tree), and the assignment
+    must agree with the literal path on a sample of the centroids."""
+    rng = np.random.default_rng(5)
+    dim, nlist = 256, 512
+    rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(600)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [(c, [float(x) for x in rng.normal(size=dim)])
+             for c in range(nlist)]
+    cells = similarity.ivf_cells(e, centroids=cents)  # impl='auto'
+    plan = cells._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 100_000, len(plan)  # literal plans here are ~10^7
+    got = {r["id"]: r["cell"] for r in cells.collect()}
+    assert len(got) == 600
+    # cross-check a sample against the literal expression on a small
+    # centroid subset: vectors the pandas path assigned to those cells
+    # must get the identical cell from the literal argmax restricted to
+    # that subset... (restriction changes the argmax domain, so instead
+    # verify directly against a numpy recomputation of the full argmax)
+    C = np.array([cv for _, cv in cents])
+    Cn = np.linalg.norm(C, axis=1)
+    for vid, vec in rows[:50]:
+        v = np.array(vec)
+        sims = (C @ v) / (np.linalg.norm(v) * Cn)
+        assert got[vid] == int(np.argmax(sims)), vid
+
+
+def test_lsh_buckets_pandas_matches_literal_dim768(spark):
+    """Real-embedding-dim LSH: n_planes=8 x dim=768 exceeds the literal
+    budget, so auto routes to the broadcast-plane pandas projection; its
+    buckets must be identical to the literal-inlined path's."""
+    rng = np.random.default_rng(9)
+    dim = 768
+    rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(200)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lit = {r["id"]: r["bucket"] for r in
+           similarity.lsh_buckets(e, 8, dim, impl="literal").collect()}
+    auto = similarity.lsh_buckets(e, 8, dim)  # auto -> pandas at 6144 terms
+    plan = auto._jdf.queryExecution().analyzed().toString()
+    assert "mapInPandas" in plan or "MapInPandas" in plan, plan[:500]
+    pan = {r["id"]: r["bucket"] for r in auto.collect()}
+    assert lit == pan
+    assert len(set(pan.values())) > 1  # buckets actually spread
+
+
+def test_ivf_cell_stats_histogram(emb):
+    stats: dict = {}
+    similarity.ivf_cells(emb, nlist=4, stats=stats).collect()
+    assert sum(stats["cell_sizes"].values()) == len(_vecs())
+    assert stats["nonempty_cells"] == len(stats["cell_sizes"])
+    assert stats["max_cell"] >= stats["min_cell"] >= 1
+    assert set(stats["cell_sizes"]) <= set(range(4))
+
+
 def test_lsh_topk_recall(emb):
     vecs = dict(_vecs())
     qs = [(i, vecs[i]) for i in (0, 5, 9)]
