@@ -94,6 +94,18 @@ def jaccard_pairs(
     only); the returned DataFrame is unaffected."""
     sh = shingle_df(docs, n, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_shingle_df is not None and stats is None:
+        # zero-cost visibility for default callers (counting the dropped
+        # shingles costs a job — pass stats={} to pay for exact numbers):
+        # the cap bounds candidate GENERATION, so pairs overlapping ONLY
+        # in hotter-than-cap shingles are never emitted
+        logger.info(
+            "jaccard_pairs: hot-shingle cap active (max_shingle_df=%d; "
+            "changed from 10000 in r4 — see CHANGELOG.md); pairs whose "
+            "overlap is exclusively hotter shingles are not generated. "
+            "Pass stats={} for exact dropped/kept/candidate counts.",
+            max_shingle_df,
+        )
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh_cand = sh.join(

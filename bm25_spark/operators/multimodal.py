@@ -36,6 +36,13 @@ IMAGE_META_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType(), False),
         T.StructField("channels", T.IntegerType(), False),
         T.StructField("mean_pixel", T.DoubleType(), False),
+        # False marks a lenient-mode fallback row: the configured decoder
+        # could not decode the blob and the deterministic stub substituted
+        # — its width/height/mean_pixel are fabricated and downstream
+        # consumers can (and should) filter on this instead of trusting
+        # them. Always True for strict 'pil' and for 'stub' (the stub IS
+        # the configured decoder there).
+        T.StructField("decode_ok", T.BooleanType(), False),
     ]
 )
 
@@ -113,6 +120,42 @@ def _resolve_backend(backend: str) -> str:
     return backend
 
 
+def verify_decode_backend(spark, backend: str = "auto", probes: int | None = None):
+    """Startup probe for cluster runs: resolve ``backend`` on the driver,
+    and when it resolves to 'pil', run one tiny mapInPandas job that
+    imports Pillow inside ``probes`` (default: defaultParallelism) tasks —
+    failing fast with ONE clear error instead of mid-pipeline ImportErrors
+    inside decode stages on executors that lack Pillow. Returns the
+    resolved backend name ('pil'/'stub'). Call once before a decode
+    pipeline on a real cluster; cheap no-op job when resolution is
+    'stub'."""
+    resolved = _resolve_backend(backend)
+    if resolved != "pil":
+        return resolved
+    n = probes or spark.sparkContext.defaultParallelism
+
+    def check(batches):
+        for _ in batches:
+            pass
+        yield pd.DataFrame({"ok": [_pil_available()]})
+
+    bad = (
+        spark.range(n)
+        .repartition(n)
+        .mapInPandas(check, "ok boolean")
+        .filter(~F.col("ok"))
+        .count()
+    )
+    if bad:
+        raise ImportError(
+            f"decode backend resolved to 'pil' on the driver but Pillow "
+            f"is not importable in {bad}/{n} probe task(s) on the "
+            "executors — install Pillow cluster-wide or pass "
+            "backend='stub' explicitly"
+        )
+    return resolved
+
+
 def get_decoder(backend: str = "auto"):
     """Image-decode backend dispatch. The returned callable imports its
     lib lazily inside the task:
@@ -143,34 +186,53 @@ def get_decoder(backend: str = "auto"):
 
 
 def _row_decoder(backend: str):
-    """(resolved_backend, lenient) -> per-row decode callable for the
-    mapInPandas stages; lenient wraps pil with a stub fallback."""
+    """Per-row decode for the mapInPandas stages. ``make()`` returns
+    ``(dec, state)`` where ``dec(blob) -> (array, ok)`` — ``ok`` False
+    marks a lenient-mode stub fallback (auto-resolved 'pil' only) — and
+    ``state['fallbacks']`` counts them so the stage can emit the final
+    per-task total (``_log_fallbacks``), not just the first failure."""
     resolved = _resolve_backend(backend)
     lenient = backend == "auto" and resolved == "pil"
 
     def make():
         decode = get_decoder(resolved)
-        if not lenient:
-            return decode
         state = {"fallbacks": 0}
+        if not lenient:
+            return (lambda blob: (decode(blob), True)), state
 
         def dec(blob: bytes):
             try:
-                return decode(blob)
+                return decode(blob), True
             except Exception:
                 if state["fallbacks"] == 0:
                     import logging
 
                     logging.getLogger(__name__).warning(
                         "auto/pil decode failed; falling back to stub "
-                        "pixels for undecodable blobs in this task"
+                        "pixels for undecodable blobs in this task "
+                        "(decode_ok=False on those rows; final count "
+                        "logged at task end)"
                     )
                 state["fallbacks"] += 1
-                return _decode_stub(blob)
+                return _decode_stub(blob), False
 
-        return dec
+        return dec, state
 
     return make
+
+
+def _log_fallbacks(stage: str, state: dict) -> None:
+    """Emit the final per-task fallback total (the first-failure warning
+    above only marks the onset)."""
+    if state["fallbacks"]:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: %d blob(s) in this task were undecodable by the "
+            "auto-resolved 'pil' backend and carry deterministic stub "
+            "pixels (decode_ok=False where the schema exposes it)",
+            stage, state["fallbacks"],
+        )
 
 
 def decode_images(blobs: DataFrame, backend: str = "auto") -> DataFrame:
@@ -180,20 +242,25 @@ def decode_images(blobs: DataFrame, backend: str = "auto") -> DataFrame:
     make_decoder = _row_decoder(backend)
 
     def run(batches):
-        decode = make_decoder()
+        decode, state = make_decoder()
         for pdf in batches:
             out = {
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "byte_len": pdf["blob"].map(len).astype("int64"),
             }
-            dims = [decode(bytes(b)) for b in pdf["blob"]]
+            decoded = [decode(bytes(b)) for b in pdf["blob"]]
+            dims = [d for d, _ in decoded]
             out["width"] = pd.Series([d.shape[1] for d in dims], dtype="int32")
             out["height"] = pd.Series([d.shape[0] for d in dims], dtype="int32")
             out["channels"] = pd.Series([d.shape[2] for d in dims], dtype="int32")
             out["mean_pixel"] = pd.Series(
                 [round(float(d.mean()), 4) for d in dims], dtype="float64"
             )
+            out["decode_ok"] = pd.Series(
+                [ok for _, ok in decoded], dtype="bool"
+            )
             yield pd.DataFrame(out)
+        _log_fallbacks("decode_images", state)
 
     return blobs.mapInPandas(run, schema=IMAGE_META_SCHEMA)
 
@@ -206,17 +273,18 @@ def resize_images(
     make_decoder = _row_decoder(backend)
 
     def run(batches):
-        decode = make_decoder()
+        decode, state = make_decoder()
         for pdf in batches:
             out_blobs = []
             for b in pdf["blob"]:
-                arr = decode(bytes(b))
+                arr, _ok = decode(bytes(b))
                 ys = np.linspace(0, arr.shape[0] - 1, target).astype(int)
                 xs = np.linspace(0, arr.shape[1] - 1, target).astype(int)
                 out_blobs.append(arr[np.ix_(ys, xs)].tobytes())
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "blob": out_blobs}
             )
+        _log_fallbacks("resize_images", state)
 
     return blobs.mapInPandas(
         run,

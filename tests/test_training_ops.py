@@ -572,23 +572,41 @@ def test_auto_pil_falls_back_to_stub_per_row(monkeypatch):
     monkeypatch.setattr(multimodal, "_decode_pil", fake_pil_decode)
 
     payload = b"definitely not an image"
-    dec = multimodal._row_decoder("auto")()  # auto -> pil (patched), lenient
-    got = dec(payload)
+    dec, state = multimodal._row_decoder("auto")()  # auto -> pil, lenient
+    got, ok = dec(payload)
+    assert ok is False  # fallback rows are MARKED (decode_ok=False)
     assert np.array_equal(got, multimodal._decode_stub(payload))
+    dec(payload)
+    assert state["fallbacks"] == 2  # final per-task count is surfaced
 
     # explicit 'pil' stays STRICT: the user asked for real decode, so the
     # undecodable blob raises instead of silently degrading
-    strict = multimodal._row_decoder("pil")()
+    strict, _ = multimodal._row_decoder("pil")()
     with pytest.raises(ValueError):
         strict(payload)
 
-    # and 'auto' on a Pillow-less host resolves to the stub outright
+    # and 'auto' on a Pillow-less host resolves to the stub outright —
+    # the stub IS the configured decoder, so its rows are decode_ok=True
     monkeypatch.setattr(multimodal, "_pil_available", lambda: False)
-    assert multimodal._row_decoder("auto")()(payload) is not None
-    assert np.array_equal(
-        multimodal._row_decoder("auto")()(payload),
-        multimodal._decode_stub(payload),
-    )
+    stub_dec, stub_state = multimodal._row_decoder("auto")()
+    arr, ok = stub_dec(payload)
+    assert ok is True and stub_state["fallbacks"] == 0
+    assert np.array_equal(arr, multimodal._decode_stub(payload))
+
+
+def test_verify_decode_backend_probe(spark, monkeypatch):
+    """Startup probe: resolves the backend on the driver and, for 'pil',
+    checks Pillow importability inside executor tasks. In this sandbox
+    Pillow is absent, so 'auto' resolves to 'stub' without running a job
+    and explicit 'pil' raises at resolution."""
+    assert multimodal.verify_decode_backend(spark, "auto") == "stub"
+    assert multimodal.verify_decode_backend(spark, "stub") == "stub"
+    if not multimodal._pil_available():
+        with pytest.raises(ImportError):
+            multimodal.verify_decode_backend(spark, "pil")
+    else:
+        # local mode: executors share the driver env, probe must pass
+        assert multimodal.verify_decode_backend(spark, "pil") == "pil"
 
 
 def test_multimodal_plumbing(docs):
@@ -599,6 +617,7 @@ def test_multimodal_plumbing(docs):
             for r in multimodal.decode_images(blobs, backend="stub").collect()}
     assert meta[0]["byte_len"] == len(CORPUS[0][1].encode())
     assert meta[0]["channels"] == 3
+    assert all(r["decode_ok"] for r in meta.values())  # stub = configured
     assert 4 <= meta[0]["width"] <= 16
     # determinism: same text -> same decoded meta
     assert meta[3]["mean_pixel"] == meta[4]["mean_pixel"]
