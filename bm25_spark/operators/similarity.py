@@ -12,6 +12,14 @@
   search only the ``nprobe`` cells nearest the query. Centroids are
   deterministic data samples (md5-of-id order), so the whole pipeline is
   reproducible and oracle-checkable with no RNG state.
+
+Plan-size dispatch: small centroid/plane matrices are inlined into the
+expression tree (pure codegen); past LITERAL_PLAN_MAX_TERMS total
+literal terms (nlist*dim / n_planes*dim) the SAME math runs as a
+sparkContext.broadcast matrix + one vectorized numpy GEMM per Arrow
+batch in mapInPandas — bounded plans at production sizes (nlist 4096,
+dim 768+). ``impl='literal'|'pandas'`` forces a path; tests assert
+identity.
 """
 
 from __future__ import annotations
@@ -431,17 +439,39 @@ def ivf_topk(
         stats=stats,
     )
 
-    def probe_cells(vec: list[float]) -> list[int]:
-        qn = sum(x * x for x in vec) ** 0.5
-        sims = []
-        for cell, cv in centroids:
-            cn = sum(x * x for x in cv) ** 0.5
-            dot = 0.0
-            for x, y in zip(vec, cv):
-                dot += x * y
-            sims.append((-(dot / (qn * cn)), cell))
-        sims.sort()
-        return [c for _, c in sims[:nprobe]]
+    dim_c = len(centroids[0][1]) if centroids else 0
+    if _resolve_impl(impl, len(centroids) * dim_c) == "pandas":
+        # large nlist*dim: one numpy GEMM over all queries at once instead
+        # of an O(queries * nlist * dim) pure-python loop. (Kept off for
+        # small sizes: the sequential-python dot is the float-order the
+        # SQL oracle transcribes, and near-tie probe choices must match.)
+        import numpy as np
+
+        order = sorted(centroids, key=lambda t: t[0])
+        cids = np.asarray([c for c, _ in order], dtype=np.int64)
+        C = np.asarray([cv for _, cv in order], dtype=np.float64)
+        Cn = np.sqrt((C * C).sum(axis=1))
+
+        def probe_cells(vec: list[float]) -> list[int]:
+            q_ = np.asarray(vec, dtype=np.float64)
+            sims = (C @ q_) / (np.sqrt(q_ @ q_) * Cn)
+            # ties -> smaller cell: stable sort on (-sim), ascending ids
+            top = np.argsort(-sims, kind="stable")[:nprobe]
+            return [int(c) for c in cids[top]]
+
+    else:
+
+        def probe_cells(vec: list[float]) -> list[int]:
+            qn = sum(x * x for x in vec) ** 0.5
+            sims = []
+            for cell, cv in centroids:
+                cn = sum(x * x for x in cv) ** 0.5
+                dot = 0.0
+                for x, y in zip(vec, cv):
+                    dot += x * y
+                sims.append((-(dot / (qn * cn)), cell))
+            sims.sort()
+            return [c for _, c in sims[:nprobe]]
 
     probe_rows = []
     for qid, vec in query_vecs:
@@ -489,13 +519,26 @@ def lsh_topk(
         embeddings, n_planes, dim, id_col, vec_col, impl=impl
     )
     planes = hyperplanes(n_planes, dim)
+    if _resolve_impl(impl, n_planes * dim) == "pandas":
+        # match the pandas bucket path's GEMM float-order so the query
+        # signature lands in the same bucket its own vector did
+        import numpy as np
 
-    def sig(vec: list[float]) -> int:
-        s = 0
-        for p, plane in enumerate(planes):
-            if sum(x * y for x, y in zip(vec, plane)) > 0:
-                s |= 1 << p
-        return s
+        P = np.asarray(planes, dtype=np.float64)
+        w = (1 << np.arange(n_planes, dtype=np.int64)).astype(np.int64)
+
+        def sig(vec: list[float]) -> int:
+            proj = P @ np.asarray(vec, dtype=np.float64)
+            return int(((proj > 0) * w).sum())
+
+    else:
+
+        def sig(vec: list[float]) -> int:
+            s = 0
+            for p, plane in enumerate(planes):
+                if sum(x * y for x, y in zip(vec, plane)) > 0:
+                    s |= 1 << p
+            return s
 
     probe_rows = []
     for qid, vec in query_vecs:

@@ -483,6 +483,24 @@ def test_lsh_buckets_pandas_matches_literal_dim768(spark):
     assert len(set(pan.values())) > 1  # buckets actually spread
 
 
+def test_topk_pandas_impl_end_to_end_identical(emb):
+    """Forcing impl='pandas' (broadcast-matrix assignment + numpy probe
+    selection) through ivf_topk and lsh_topk must reproduce the literal
+    path's results exactly on the shared fixture."""
+    vecs = dict(_vecs())
+    qs = [(i, vecs[i]) for i in (0, 5, 9)]
+    for fn, kw in (
+        (similarity.ivf_topk, dict(nlist=4, nprobe=2)),
+        (similarity.lsh_topk, dict(n_planes=6, multiprobe_hamming=1)),
+    ):
+        lit = fn(emb, qs, k=5, impl="literal", **kw).collect()
+        pan = fn(emb, qs, k=5, impl="pandas", **kw).collect()
+        key = lambda rows: sorted(
+            (r["query_id"], r["rank"], r["id"], r["cosine"]) for r in rows
+        )
+        assert key(lit) == key(pan), fn.__name__
+
+
 def test_ivf_cell_stats_histogram(emb):
     stats: dict = {}
     similarity.ivf_cells(emb, nlist=4, stats=stats).collect()
