@@ -554,16 +554,19 @@ def q_jaccard_pairs(spark, sf_dir):
 
 
 def q_minhash_sig(spark, sf_dir):
-    from bm25_spark.operators.dedup import shingle_df
+    """The PRODUCTION minhash_signatures operator (one groupBy(doc_id)
+    with num_perm MIN aggregates), flattened to (doc_id, perm, mh) rows —
+    array columns hash poorly across engines, and posexplode preserves
+    the per-permutation value exactly."""
+    from bm25_spark.operators.dedup import minhash_signatures
 
-    sh = shingle_df(_read_docs(spark, sf_dir), n=3)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(MINHASH_PERMS - 1))).alias("perm")
-    h = F.md5(F.concat_ws("|", F.col("perm").cast("string"), F.col("shingle")))
-    return (
-        sh.select("doc_id", perms, "shingle")
-        .select("doc_id", F.col("perm").cast("long").alias("perm"), h.alias("h"))
-        .groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("mh"))
+    sig = minhash_signatures(
+        _read_docs(spark, sf_dir), num_perm=MINHASH_PERMS, n=3
+    )
+    return sig.select(
+        "doc_id", F.posexplode("sig").alias("perm", "mh")
+    ).select(
+        "doc_id", F.col("perm").cast("long").alias("perm"), "mh"
     )
 
 

@@ -215,20 +215,28 @@ def minhash_signatures(
     """(doc_id, sig: array<string>): MinHash signature — per permutation i,
     min over shingles of md5(i || '|' || shingle). Lexicographic min over
     hex strings == min over the underlying 128-bit ints, and is identical
-    in DuckDB SQL."""
+    in DuckDB SQL.
+
+    Plan shape (one shuffle, no per-perm row explosion): ONE
+    groupBy(doc_id) carrying ``num_perm`` partially-aggregatable MIN
+    columns — map-side combine collapses each task to one partial row per
+    doc before the exchange, so the shuffle moves ~docs rows of num_perm
+    hashes instead of docs × shingles × num_perm exploded rows, and the
+    former second (doc_id, perm) aggregation pass is gone."""
     sh = shingle_df(docs, n, text_col)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
-    h = F.md5(F.concat_ws("|", F.col("perm").cast("string"), F.col("shingle")))
-    per_perm = (
-        sh.select("doc_id", perms, "shingle")
-        .select("doc_id", "perm", h.alias("h"))
-        .groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("mh"))
-    )
+    mins = [
+        F.min(
+            F.md5(F.concat_ws("|", F.lit(str(p)), F.col("shingle")))
+        ).alias(f"m{p}")
+        for p in range(num_perm)
+    ]
     return (
-        per_perm.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("perm", "mh"))).alias("s"))
-        .select("doc_id", F.col("s.mh").alias("sig"))
+        sh.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"m{p}") for p in range(num_perm)]).alias("sig"),
+        )
     )
 
 

@@ -203,6 +203,15 @@ def test_minhash_signature_is_md5_min(spark, docs):
     for perm in range(4):
         want = min(hashlib.md5(f"{perm}|{s}".encode()).hexdigest() for s in sh)
         assert sig[0][perm] == want
+    # plan shape: one Generate (the shingle explode), no per-perm row
+    # explosion — the signature is one groupBy(doc_id) of num_perm MINs
+    plan = (
+        dedup.minhash_signatures(docs, num_perm=4)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Generate") == 1, plan
 
 
 def test_simhash(docs):
