@@ -774,6 +774,10 @@ def q_mm_decode_meta(spark, sf_dir):
         "byte_len",
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
+        # explicit-stub rows are decode_ok by definition (the stub IS the
+        # configured decoder); pinning it here keeps the column's
+        # semantics oracle-visible
+        "decode_ok",
     )
 
 
@@ -1271,7 +1275,8 @@ SELECT doc_id,
        CAST(4 + (('0x' || substr(md5(text), 1, 2))::BIGINT % 13) AS BIGINT)
          AS width,
        CAST(4 + (('0x' || substr(md5(text), 3, 2))::BIGINT % 13) AS BIGINT)
-         AS height
+         AS height,
+       TRUE AS decode_ok
 FROM documents""",
         # resize = stub-decode (pixels from repeated md5(blob||'px') bytes)
         # + numpy-linspace 8x8 nearest-neighbor subsample; the SQL re-derives
