@@ -99,12 +99,17 @@ def jaccard_pairs(
         # shingles costs a job — pass stats={} to pay for exact numbers):
         # the cap bounds candidate GENERATION, so pairs overlapping ONLY
         # in hotter-than-cap shingles are never emitted
+        default_note = (
+            " (the DEFAULT, tightened from 10000 in r4 — see CHANGELOG.md)"
+            if max_shingle_df == 1000
+            else ""
+        )
         logger.info(
-            "jaccard_pairs: hot-shingle cap active (max_shingle_df=%d; "
-            "changed from 10000 in r4 — see CHANGELOG.md); pairs whose "
-            "overlap is exclusively hotter shingles are not generated. "
-            "Pass stats={} for exact dropped/kept/candidate counts.",
-            max_shingle_df,
+            "jaccard_pairs: hot-shingle cap active (max_shingle_df=%d%s); "
+            "pairs whose overlap is exclusively hotter shingles are not "
+            "generated. Pass stats={} for exact dropped/kept/candidate "
+            "counts.",
+            max_shingle_df, default_note,
         )
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))

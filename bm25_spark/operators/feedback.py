@@ -123,23 +123,26 @@ def _relevant_term_counts_warm(
 
     wanted = sorted({int(i) for i in doc_ids})
     ssz = index.shard_size
-    by_shard: dict[int, list[int]] = {}
+    by_shard: dict[int, "np.ndarray"] = {}
     for i in wanted:
         by_shard.setdefault(i // ssz, []).append(i)
+    # one int64 array per shard, hoisted out of the per-term loop
+    by_shard = {
+        s: np.asarray(ids_, dtype=np.int64) for s, ids_ in by_shard.items()
+    }
     rcache = d.get("_raw_blob_cache", {})
     tfm: dict[int, dict[str, int]] = {}
     dls: dict[int, int] = {}
     for term, by_pk in d.get("_shard_meta_cache", {}).items():
         for pk, shards in by_pk.items():
             for shard, _n, _mb in shards:
-                w_in = by_shard.get(shard)
-                if w_in is None:
+                w_arr = by_shard.get(shard)
+                if w_arr is None:
                     continue
                 key = (pk, term, shard)
                 raw = rcache.get(key)
                 if raw is None:  # cache mutated under us — play it safe
                     return None
-                w_arr = np.asarray(w_in, dtype=np.int64)
                 if raw[4] is not None:  # block offsets: partial decode
                     bl = raw[2]  # last doc_id per block
                     need = np.unique(np.searchsorted(bl, w_arr, "left"))
@@ -181,11 +184,16 @@ def search_with_feedback(
         return search(index, expanded, limit=limit)
     rel = (
         index.docs.filter(F.col("doc_id").isin(list(set(relevant_doc_ids))))
-        .select(index.text_col)
+        .select("doc_id", index.text_col)
         .collect()
     )
     if not rel:
         return search(index, query, limit=limit)
+    # doc_id-sorted accumulation order: float addition is not associative,
+    # so the expansion must not depend on Spark's collect order (partition
+    # layout) — and the warm path above reconstructs in the same sorted-id
+    # order, keeping warm and cold expansions bit-identical
+    rel.sort(key=lambda r: r["doc_id"])
     relevant_terms = [
         tokenize_text(r[index.text_col] or "", index.stopwords) for r in rel
     ]

@@ -63,6 +63,29 @@ def _norm_col(v: str = "v") -> F.Column:
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
 
 
+def _centroid_matrix(centroids: list[tuple[int, list[float]]]):
+    """(ids ascending, C matrix, row norms) — the ONE derivation both the
+    pandas cell assignment and the probe-cell selection share, so their
+    float layout cannot drift apart (the tie-break argument rests on the
+    ascending-id row order)."""
+    import numpy as np
+
+    order = sorted(centroids, key=lambda t: t[0])
+    ids = np.asarray([c for c, _ in order], dtype=np.int64)
+    C = np.asarray([cv for _, cv in order], dtype=np.float64)
+    return ids, C, np.sqrt((C * C).sum(axis=1))
+
+
+def _plane_matrix(planes: list[list[float]]):
+    """(P matrix, bit weights) shared by the pandas bucket projection and
+    the query-signature computation."""
+    import numpy as np
+
+    P = np.asarray(planes, dtype=np.float64)
+    w = (1 << np.arange(len(planes), dtype=np.int64)).astype(np.int64)
+    return P, w
+
+
 def _prep(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return embeddings.select(
         F.col(id_col).alias("id"),
@@ -161,9 +184,7 @@ def _lsh_buckets_pandas(v: DataFrame, planes: list[list[float]]) -> DataFrame:
     import numpy as np
 
     spark = v.sparkSession
-    P = np.asarray(planes, dtype=np.float64)
-    weights = (1 << np.arange(len(planes), dtype=np.int64)).astype(np.int64)
-    bc = spark.sparkContext.broadcast((P, weights))
+    bc = spark.sparkContext.broadcast(_plane_matrix(planes))
     schema = T.StructType(
         list(v.schema.fields) + [T.StructField("bucket", T.LongType())]
     )
@@ -304,11 +325,7 @@ def _assign_cells_pandas(
     import numpy as np
 
     spark = v.sparkSession
-    order = sorted(centroids, key=lambda t: t[0])
-    ids = np.asarray([c for c, _ in order], dtype=np.int64)
-    C = np.asarray([cv for _, cv in order], dtype=np.float64)
-    Cn = np.sqrt((C * C).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, C, Cn))
+    bc = spark.sparkContext.broadcast(_centroid_matrix(centroids))
     schema = T.StructType(
         list(v.schema.fields) + [T.StructField("cell", T.IntegerType())]
     )
@@ -434,27 +451,31 @@ def ivf_topk(
                 embeddings, centroids, refine_iters, id_col, vec_col,
                 impl=impl,
             )
+    dim_c = len(centroids[0][1]) if centroids else 0
+    impl = _resolve_impl(impl, len(centroids) * dim_c)  # resolve ONCE
     cells = ivf_cells(
         embeddings, nlist, id_col, vec_col, centroids, impl=impl,
         stats=stats,
     )
 
-    dim_c = len(centroids[0][1]) if centroids else 0
-    if _resolve_impl(impl, len(centroids) * dim_c) == "pandas":
-        # large nlist*dim: one numpy GEMM over all queries at once instead
-        # of an O(queries * nlist * dim) pure-python loop. (Kept off for
-        # small sizes: the sequential-python dot is the float-order the
-        # SQL oracle transcribes, and near-tie probe choices must match.)
+    if impl == "pandas":
+        # large nlist*dim: numpy probe selection instead of an
+        # O(queries * nlist * dim) pure-python loop. (Kept off for small
+        # sizes: the sequential-python dot is the float-order the SQL
+        # oracle transcribes, and near-tie probe choices must match.)
+        # Same _centroid_matrix + row-vector-@-C.T orientation as the
+        # pandas cell assignment; residual caveat: BLAS may still pick a
+        # different kernel for a 1-row GEMM than for a batch, so a cell
+        # whose similarity ties to ~1 ulp could in principle rank
+        # differently — probing nprobe cells absorbs that at any
+        # realistic nprobe.
         import numpy as np
 
-        order = sorted(centroids, key=lambda t: t[0])
-        cids = np.asarray([c for c, _ in order], dtype=np.int64)
-        C = np.asarray([cv for _, cv in order], dtype=np.float64)
-        Cn = np.sqrt((C * C).sum(axis=1))
+        cids, C, Cn = _centroid_matrix(centroids)
 
         def probe_cells(vec: list[float]) -> list[int]:
-            q_ = np.asarray(vec, dtype=np.float64)
-            sims = (C @ q_) / (np.sqrt(q_ @ q_) * Cn)
+            q_ = np.asarray(vec, dtype=np.float64)[None, :]
+            sims = (q_ @ C.T)[0] / (np.sqrt((q_ * q_).sum()) * Cn)
             # ties -> smaller cell: stable sort on (-sim), ascending ids
             top = np.argsort(-sims, kind="stable")[:nprobe]
             return [int(c) for c in cids[top]]
@@ -520,16 +541,19 @@ def lsh_topk(
     )
     planes = hyperplanes(n_planes, dim)
     if _resolve_impl(impl, n_planes * dim) == "pandas":
-        # match the pandas bucket path's GEMM float-order so the query
-        # signature lands in the same bucket its own vector did
+        # same _plane_matrix + row-vector-@-P.T orientation as the pandas
+        # bucket path, so the query signature computes like its own
+        # vector's bucket did. Residual caveat: BLAS may pick a different
+        # kernel for a 1-row GEMM than a batch, so a projection within
+        # ~1 ulp of exactly 0 could in principle flip a bit — the default
+        # hamming-1 multiprobe absorbs a single flipped bit.
         import numpy as np
 
-        P = np.asarray(planes, dtype=np.float64)
-        w = (1 << np.arange(n_planes, dtype=np.int64)).astype(np.int64)
+        P_, w_ = _plane_matrix(planes)
 
         def sig(vec: list[float]) -> int:
-            proj = P @ np.asarray(vec, dtype=np.float64)
-            return int(((proj > 0) * w).sum())
+            proj = (np.asarray(vec, dtype=np.float64)[None, :] @ P_.T)[0]
+            return int(((proj > 0) * w_).sum())
 
     else:
 

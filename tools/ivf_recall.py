@@ -54,9 +54,8 @@ def main() -> int:
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     emb = emb.persist()
     emb.count()
-    qs = [(i, rows[i][1]) for i in range(0, N_DOCS, N_DOCS // N_QUERIES)][
-        :N_QUERIES
-    ]
+    step = max(1, N_DOCS // N_QUERIES)
+    qs = [(i, rows[i][1]) for i in range(0, N_DOCS, step)][:N_QUERIES]
 
     brute = similarity.brute_topk(emb, qs, k=K).collect()
     truth: dict[int, set[int]] = {}
