@@ -127,6 +127,43 @@ def main() -> int:
         )
     )
 
+    # 6. simhash: one aggregation over the token explode — no per-bit
+    # row explosion (round 5)
+    from bm25_spark.operators.dedup import simhash
+
+    sh = simhash(docs)
+    sections.append(
+        (
+            "SimHash signatures",
+            "One groupBy(doc_id) carrying 60 partially-aggregatable SUM "
+            "columns over the token explode — the per-bit votes never "
+            "become rows. Look for: exactly one Generate (the token "
+            "explode); a partial_/final HashAggregate pair around a "
+            "single Exchange hashpartitioning(doc_id); no second "
+            "aggregation pass.",
+            captured_explain(sh),
+        )
+    )
+
+    # 7. IVF cell assignment past the literal-plan budget (round 5):
+    # broadcast centroid matrix + narrow mapInPandas GEMM
+    from bm25_spark.operators.similarity import ivf_cells, ivf_seed_centroids
+
+    cents = ivf_seed_centroids(emb, nlist=8)
+    cells = ivf_cells(emb, centroids=cents, impl="pandas")
+    sections.append(
+        (
+            "IVF cell assignment (broadcast-matrix path)",
+            "The production assignment for large nlist*dim: the centroid "
+            "matrix rides a sparkContext broadcast (not the plan), and "
+            "assignment is one narrow MapInPandas over the scan — plan "
+            "size is O(1) in nlist and dim. Look for: MapInPandas "
+            "directly over the (projected) scan; NO Exchange; no "
+            "centroid literals in the plan.",
+            captured_explain(cells),
+        )
+    )
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
