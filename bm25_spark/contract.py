@@ -664,6 +664,28 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_indexed(spark, sf_dir):
+    """Persisted IVF index roundtrip (ann_index): write the cell-
+    partitioned parquet + centroid manifest, then answer the SAME query
+    as sim_ann_ivf against the stored index — bit-identical by
+    construction (same md5-seeded centroids, same cast-to-double
+    vectors, same probe float-order), so it shares _ivf_ann_sql as its
+    oracle. The read is statically pruned to the probed cell
+    partitions."""
+    import tempfile
+
+    from bm25_spark.operators.ann_index import ann_index_topk, write_ann_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = tempfile.mkdtemp(prefix="annidx_")
+    write_ann_index(emb, path, nlist=ANN_IVF_NLIST)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ann_index_topk(
+        spark, path, [(0, [float(x) for x in qvec])], k=TOPK,
+        nprobe=ANN_IVF_NPROBE,
+    )
+
+
 def _ivf_ann_sql() -> str:
     """DuckDB transcription of similarity.ivf_topk for query vec_id=0:
     seeds = nlist vectors by md5(id) order, cells = per-vector argmax
@@ -871,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "sim_ann_ivf": q_ann_ivf_topk,
+        "sim_ann_ivf_indexed": q_ann_ivf_indexed,
         "mm_decode_meta": q_mm_decode_meta,
         "mm_resize": q_mm_resize,
         "mm_frames": q_mm_frames,
@@ -1269,6 +1292,7 @@ FROM scored
 QUALIFY rank <= {TOPK}""",
         "ann_lsh_topk": _lsh_ann_sql(),
         "sim_ann_ivf": _ivf_ann_sql(),
+        "sim_ann_ivf_indexed": _ivf_ann_sql(),
         "mm_decode_meta": """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

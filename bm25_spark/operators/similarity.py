@@ -443,7 +443,6 @@ def ivf_topk(
     over the nlist centroids (tiny); candidate scoring is one cell-pruned
     scan + broadcast join. ``impl``/``stats``: see ivf_cells (assignment
     strategy and cell-size telemetry)."""
-    spark = embeddings.sparkSession
     if centroids is None:
         centroids = ivf_seed_centroids(embeddings, nlist, id_col, vec_col)
         if refine_iters:
@@ -457,18 +456,24 @@ def ivf_topk(
         embeddings, nlist, id_col, vec_col, centroids, impl=impl,
         stats=stats,
     )
+    probe_cells = _make_probe_fn(centroids, nprobe, impl)
+    return _score_probed_cells(cells, query_vecs, probe_cells, k)
 
-    if impl == "pandas":
-        # large nlist*dim: numpy probe selection instead of an
-        # O(queries * nlist * dim) pure-python loop. (Kept off for small
-        # sizes: the sequential-python dot is the float-order the SQL
-        # oracle transcribes, and near-tie probe choices must match.)
-        # Same _centroid_matrix + row-vector-@-C.T orientation as the
-        # pandas cell assignment; residual caveat: BLAS may still pick a
-        # different kernel for a 1-row GEMM than for a batch, so a cell
-        # whose similarity ties to ~1 ulp could in principle rank
-        # differently — probing nprobe cells absorbs that at any
-        # realistic nprobe.
+
+def _make_probe_fn(
+    centroids: list[tuple[int, list[float]]], nprobe: int, impl: str = "auto"
+):
+    """probe_cells(vec) -> the nprobe cell ids whose centroids are nearest
+    (cosine, ties -> smaller cell). Small centroid sets use the
+    sequential-python dot (the float-order the SQL oracle transcribes);
+    past the literal budget, one numpy GEMM per query in the same
+    _centroid_matrix + row-vector-@-C.T orientation as the pandas cell
+    assignment. Residual caveat there: BLAS may pick a different kernel
+    for a 1-row GEMM than a batch, so a cell whose similarity ties to
+    ~1 ulp could in principle rank differently — probing nprobe cells
+    absorbs that at any realistic nprobe."""
+    dim_c = len(centroids[0][1]) if centroids else 0
+    if _resolve_impl(impl, len(centroids) * dim_c) == "pandas":
         import numpy as np
 
         cids, C, Cn = _centroid_matrix(centroids)
@@ -494,6 +499,19 @@ def ivf_topk(
             sims.sort()
             return [c for _, c in sims[:nprobe]]
 
+    return probe_cells
+
+
+def _score_probed_cells(
+    cells: DataFrame, query_vecs, probe_cells, k: int
+) -> DataFrame:
+    """(query_id, id, cosine, rank) over a (id, v, nrm, cell) frame: exact
+    cosine within each query's probed cells only. The explicit
+    cell-isin filter ahead of the broadcast join is semantically
+    redundant (the join key restricts anyway) but STATICALLY prunes a
+    cell-partitioned parquet source to the probed partitions — the
+    storage win a persisted IVF index exists for (ann_index)."""
+    spark = cells.sparkSession
     probe_rows = []
     for qid, vec in query_vecs:
         fvec = [float(x) for x in vec]
@@ -502,13 +520,18 @@ def ivf_topk(
     q = spark.createDataFrame(
         probe_rows, "query_id long, qv array<double>, cell int"
     ).withColumn("qnrm", _norm_col("qv"))
+    probed = sorted({c for _, _, c in probe_rows})
     dot = F.aggregate(
         F.zip_with("v", "qv", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    scored = cells.join(F.broadcast(q), "cell").withColumn(
-        "cosine", F.round(dot / (F.col("nrm") * F.col("qnrm")), 4)
+    scored = (
+        cells.filter(F.col("cell").isin(probed))
+        .join(F.broadcast(q), "cell")
+        .withColumn(
+            "cosine", F.round(dot / (F.col("nrm") * F.col("qnrm")), 4)
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("id").asc()

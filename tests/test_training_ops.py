@@ -510,6 +510,47 @@ def test_topk_pandas_impl_end_to_end_identical(emb):
         assert key(lit) == key(pan), fn.__name__
 
 
+def test_ann_index_roundtrip_identical_and_pruned(spark, emb, tmp_path):
+    """Persisted IVF index: write (cell-partitioned parquet + centroid
+    manifest), query back — results bit-identical to ivf_topk with the
+    same centroids, and the scan is STATICALLY pruned to the probed cell
+    partitions (the storage win the persisted index exists for)."""
+    from bm25_spark.operators import ann_index
+
+    path = str(tmp_path / "annidx")
+    meta = ann_index.write_ann_index(emb, path, nlist=4)
+    assert meta["nlist"] == 4 and meta["dim"] == 8
+
+    vecs = dict(_vecs())
+    qs = [(i, vecs[i]) for i in (0, 5, 9)]
+    got_df = ann_index.ann_index_topk(spark, path, qs, k=5, nprobe=2)
+    got = {(r["query_id"], r["rank"], r["id"], r["cosine"])
+           for r in got_df.collect()}
+    want = {(r["query_id"], r["rank"], r["id"], r["cosine"])
+            for r in similarity.ivf_topk(emb, qs, k=5, nlist=4, nprobe=2)
+            .collect()}
+    assert got == want
+
+    # partition pruning reaches the parquet scan: PartitionFilters on
+    # cell, and fewer partition dirs read than exist when nprobe < nlist
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan[:2000]
+    cells, centroids, _ = ann_index.read_ann_index(spark, path)
+    probe = ann_index._make_probe_fn(centroids, 2)
+    # a single query probes exactly nprobe of nlist cells — a one-query
+    # request reads half the partitions here (and nprobe/nlist at scale)
+    assert len(probe([float(x) for x in vecs[0]])) == 2
+    one = ann_index.ann_index_topk(spark, path, [qs[0]], k=5, nprobe=2)
+    one_plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in one_plan
+
+    # manifest guards
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        ann_index.read_ann_index(spark, str(tmp_path / "nope"))
+
+
 def test_ivf_cell_stats_histogram(emb):
     stats: dict = {}
     similarity.ivf_cells(emb, nlist=4, stats=stats).collect()
