@@ -1160,23 +1160,48 @@ def _training_ops_oracles() -> dict[str, str]:
         LANG_MAX_CHARS,
         LANG_NORM_CLASS,
         LANG_ORDER,
-        LANG_TRIGRAMS,
+        LANG_PATTERNS,
         STOPWORDS_EN,
     )
+    from bm25_spark.functions.lid_profiles import pattern_weight
 
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
-    # trigram-profile LID mirror, generated from the SAME tables the Spark
-    # operator uses (textstats.LANG_TRIGRAMS/LANG_ORDER): per language an
-    # integer occurrence count via length-difference//3, argmax with the
-    # identical first-in-LANG_ORDER tie-break
+    # pattern-profile LID mirror, generated from the SAME tables the Spark
+    # operator uses (textstats.LANG_PATTERNS/LANG_ORDER): per language an
+    # integer occurrence count via length-difference//pattern-length,
+    # summed per length group exactly like the Spark expression, argmax
+    # with the identical first-in-LANG_ORDER tie-break
+
+    def _bal(terms: list[str]) -> str:
+        # balanced-tree sum: DuckDB's binder recurses per nested binary
+        # op (limit 128), so a flat 400-term "+" chain fails to bind;
+        # log-depth parenthesization binds at depth ~9
+        if len(terms) == 1:
+            return terms[0]
+        mid = len(terms) // 2
+        return f"({_bal(terms[:mid])} + {_bal(terms[mid:])})"
+
+    def _lang_score(lang: str) -> str:
+        # same (length, weight) grouping as the Spark side: whole words
+        # and >3-char morphemes count double (pattern_weight)
+        groups: dict[tuple[int, int], list[str]] = {}
+        for pat in LANG_PATTERNS[lang]:
+            groups.setdefault(
+                (len(pat), pattern_weight(pat)), []
+            ).append(pat)
+        parts = []
+        for (plen, w) in sorted(groups):
+            diffs = _bal([
+                "(length(s) - length(replace(s, '{0}', '')))".format(
+                    pat.replace("'", "''")
+                )
+                for pat in groups[(plen, w)]
+            ])
+            parts.append(f"({w} * (({diffs}) // {plen}))")
+        return "(" + _bal(parts) + f") AS s_{lang}"
+
     lang_score_sql = ",\n         ".join(
-        "("
-        + " + ".join(
-            f"(length(s) - length(replace(s, '{tri}', '')))"
-            for tri in LANG_TRIGRAMS[lang]
-        )
-        + f") // 3 AS s_{lang}"
-        for lang in LANG_ORDER
+        _lang_score(lang) for lang in LANG_ORDER
     )
     lang_max = "greatest(" + ", ".join(f"s_{L}" for L in LANG_ORDER) + ")"
     lang_case = "\n            ".join(

@@ -21,67 +21,21 @@ STOPWORDS_EN = (
     "for on with as at by from"
 ).split()
 
-# Character-trigram language profiles (leading/trailing space = word
-# boundary; all entries exactly 3 chars). Classic n-gram profile LID
-# (Cavnar & Trenkle-style) reduced to a fixed discriminative set per
-# language so scoring stays a pure string expression: score(L) = total
-# occurrences of L's trigrams in the normalized text. Deterministic,
-# DuckDB-mirrorable (integer counts via length-difference / 3).
-# Profiles revised round 4 against tools/lid_accuracy.py's labeled fixture
-# using ONLY its dev half (first 10 sentences/language); the test half is
-# untouched held-out data, reported in BENCH.md (0.74 -> 0.86). Design
-# notes: pan-Germanic endings ("en ", "er ") appear in ALL of de/nl/sv so
-# they cancel among those and the distinctive trigrams decide; "que"/"est"
-# sit in es AND pt AND fr for the same reason.
-LANG_TRIGRAMS = {
-    "en": [" th", "the", "he ", "and", " an", "nd ", "ing", "ng ",
-           " of", "of ", " to", "to ", "ion", " is", "is ", "ed ",
-           "tha", "hat", "was", " wa", "for", " fo", "ere", "ent"],
-    "de": ["der", "die", "und", " un", "ein", "ich", "sch", "cht",
-           "ung", "gen", "den", " zu", "zu ", "eit", "ver", "nen",
-           "en ", "er ", "aus", "bei", "wir", "das", "sse", "ück",
-           "auf"],
-    "es": ["ión", "ado", "los", " lo", "las", "ció", "ent", "ar ",
-           "era", "nte", " co", "con", "por", " po", "una", "ada",
-           "del", " el", "el ", "que", " qu", "est", "aba", "ndo",
-           " y ", "ía ", "ón "],
-    "fr": ["les", " le", "ent", "que", " qu", "ue ", "ait", "eur",
-           "oir", " pa", "par", "une", "ons", " et", "et ", "ais",
-           "est", "des", "our", " à ", "ée ", "eau", "dan", "ont",
-           "iss", "lle", "le "],
-    "it": ["che", " ch", "zio", "one", "ità", "gli", " gl", "ell",
-           "lla", "to ", " di", "di ", "per", " pe", "non", "nto",
-           "are", "ere", "ato", "ono", "ano", "utt", "ggi", "iù "],
-    "nl": ["het", " he", "van", " va", "een", " ee", "ijk", "ij ",
-           "aar", "oor", "rde", "nde", " ve", "aan", "gel", "ord",
-           "en ", "er ", "lk ", "ijd", "oud", "eer", " op", "cht",
-           "iet", "uit", " ui", "wij", "zij", "eke", "kwa", "uis"],
-    "pl": ["nie", " ni", "prz", "rze", " pr", "ego", "ych", "owa",
-           "ani", "cze", "szy", " sz", "ość", "dzi", "wie", "ało",
-           "ej ", "ym ", "ów ", "ał ", "ła ", "ło ", "ied", "czy",
-           " w ", "cja", "acj", "owi", "ili"],
-    "pt": ["ção", "ão ", "ade", " co", "do ", " do", "da ", " da",
-           "os ", "par", "uma", "não", " nã", "res", "men", "com",
-           "em ", " em", "nha", "nho", "lhe", "lho", "eir", "ões",
-           "ava", "ou ", "que", " qu", "est", "as ", " no", " os",
-           "inh", "çõe"],
-    "ru": ["ого", "его", "ени", "ост", "ств", "ать", "ния", "тся",
-           "ть ", "ый ", "ая ", " пр", "при", " не", "что", " на",
-           "ом ", "ой ", "ий ", "или", "они", " во", "оро", "ет ",
-           "ние", " ко", "ами", "ень", "ала"],
-    "sv": ["och", " oc", "att", " at", "det", "för", " fö", "är ",
-           " är", "som", " so", "ade", "ett", "rna", "lig", "ska",
-           "den", "en ", "na ", "er ", " på", "på ", " av", "av ",
-           "än ", "ång", "ill", "tt ", "ätt", "igt", "öve"],
-}
-# argmax preference order: ties go to the EARLIER language (and the same
-# CASE order is generated for the DuckDB oracle, so both engines break
-# ties identically)
-LANG_ORDER = ("en", "de", "es", "fr", "it", "nl", "pl", "pt", "ru", "sv")
-# normalization shared with the oracle SQL: lowercase, keep latin +
-# latin-1/ext-A accents + cyrillic, collapse everything else to spaces
-LANG_NORM_CLASS = "[^a-zà-ÿа-яё]+"
-LANG_MAX_CHARS = 1000
+# Language-ID patterns (round 5): variable-length padded function words,
+# suffixes, and share-filtered trigrams per language, GENERATED from
+# public lexicons by tools/lid_tune.py (method + lexicons live there; the
+# labeled fixture in tools/lid_accuracy.py is validation-only). Scoring
+# stays a pure string expression: score(L) = total occurrences of L's
+# patterns in the normalized text, each counted via length-difference /
+# pattern-length — deterministic and DuckDB-mirrorable. Ties at argmax go
+# to the earlier language in LANG_ORDER in both engines.
+from bm25_spark.functions.lid_profiles import (  # noqa: E402
+    LANG_MAX_CHARS,
+    LANG_NORM_CLASS,
+    LANG_ORDER,
+    LANG_PATTERNS,
+    pattern_weight,
+)
 
 
 def _tokens_col(text_col: str) -> F.Column:
@@ -143,15 +97,17 @@ def lang_id(
     text_col: str = "text",
     max_chars: int = LANG_MAX_CHARS,
 ) -> DataFrame:
-    """(doc_id, lang_pred): character-trigram profile language ID over the
-    LANG_TRIGRAMS languages; 'und' when no profile trigram occurs.
+    """(doc_id, lang_pred): pattern-profile language ID over the
+    LANG_PATTERNS languages (15); 'und' when no profile pattern occurs.
 
     100 TB shape: a single NARROW projection — normalize once, then each
     language's score is a chain of length-difference counts (JVM string
     ops inside whole-stage codegen). No explode, no join, no shuffle; the
-    text is capped at ``max_chars`` so cost is bounded per row. Tie-break:
-    earliest language in LANG_ORDER (same CASE order as the DuckDB
-    oracle)."""
+    text is capped at ``max_chars`` so cost is bounded per row. Patterns
+    are variable-length (padded whole words, suffixes, trigrams); counts
+    group by pattern length so each division is exact (every length-diff
+    is a multiple of its pattern length). Tie-break: earliest language in
+    LANG_ORDER (same CASE order as the DuckDB oracle)."""
     norm = F.concat(
         F.lit(" "),
         F.regexp_replace(
@@ -163,19 +119,39 @@ def lang_id(
     )
     d = docs.select("doc_id", norm.alias("s"))
 
-    def occurrences(tri: str) -> F.Column:
-        # non-overlapping count, identical semantics in DuckDB's replace()
-        return F.length("s") - F.length(
-            F.replace(F.col("s"), F.lit(tri), F.lit(""))
-        )
+    def _bal(terms: list[str]) -> str:
+        # log-depth parenthesization: keeps parser/analyzer recursion
+        # shallow at ~400 terms/language (mirrors the oracle's SQL shape)
+        if len(terms) == 1:
+            return terms[0]
+        mid = len(terms) // 2
+        return f"({_bal(terms[:mid])} + {_bal(terms[mid:])})"
 
-    score_cols = []
-    for lang in LANG_ORDER:
-        total = None
-        for tri in LANG_TRIGRAMS[lang]:
-            c = occurrences(tri)
-            total = c if total is None else total + c
-        score_cols.append((total / F.lit(3)).cast("long").alias(f"s_{lang}"))
+    def _score_expr(lang: str) -> str:
+        # ONE generated SQL string per language, parsed JVM-side by
+        # F.expr — composing the same tree from ~900 Python Column
+        # objects costs ~3 s/language in Py4J round-trips (measured 43 s
+        # total for 15 languages); the parsed route builds the plan in
+        # well under a second with an identical analyzed expression.
+        # Patterns group by (length, weight): whole words and >3-char
+        # morphemes count double (pattern_weight) — they are the
+        # high-precision features; trigrams are the dense fallback.
+        groups: dict[tuple[int, int], list[str]] = {}
+        for pat in LANG_PATTERNS[lang]:
+            groups.setdefault((len(pat), pattern_weight(pat)), []).append(pat)
+        parts = []
+        for (plen, w) in sorted(groups):
+            quoted = [pat.replace("'", "\\'") for pat in groups[(plen, w)]]
+            diffs = _bal([
+                f"(length(s) - length(replace(s, '{q}', '')))"
+                for q in quoted
+            ])
+            parts.append(f"({w} * (({diffs}) div {plen}))")
+        return _bal(parts)
+
+    score_cols = [
+        F.expr(_score_expr(lang)).alias(f"s_{lang}") for lang in LANG_ORDER
+    ]
     scored = d.select("doc_id", *score_cols)
     maxs = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_ORDER])
     pred = F.when(maxs <= 0, F.lit("und"))

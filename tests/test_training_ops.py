@@ -41,7 +41,16 @@ def test_quality_and_langid(docs):
     assert q[5]["quality"] < q[0]["quality"]
     langs = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(docs).collect()}
     assert langs[0] == "en"
-    assert langs[5] == "und"
+    # 'short' hits English's ' sh' trigram under the round-5 dense
+    # profiles — a reasonable call for an English word; the und path
+    # needs text with no profile pattern at all (digits normalize away)
+    assert langs[5] == "en"
+    und = textstats.lang_id(
+        docs.sparkSession.createDataFrame(
+            [(0, "12345 67890 ---")], "doc_id long, text string"
+        )
+    ).collect()
+    assert und[0]["lang_pred"] == "und"
 
 
 # three labeled sentences per language — deterministic accuracy fixture
@@ -112,13 +121,14 @@ def test_fingerprint_and_exact_dedup(docs):
 def test_lang_id_heldout_accuracy_floor(spark):
     """Regression floor for the held-out LID figure reported in BENCH.md:
     the test half of tools/lid_accuracy.py's fixture (never used for
-    profile tuning) must stay >= 0.8 accurate. The exact per-sentence
-    fixture above guards determinism; this guards quality."""
+    profile fitting — round-5 profiles derive from public lexicons only)
+    must stay >= 0.9 accurate across the 15 languages. The exact
+    per-sentence fixture above guards determinism; this guards quality."""
     from tools.lid_accuracy import measure
 
     result = measure(spark)
-    assert result["n_test"] == 100
-    assert result["value"] >= 0.8, result
+    assert result["n_test"] == 150
+    assert result["value"] >= 0.9, result
 
 
 def _py_shingles(text, n=3):
