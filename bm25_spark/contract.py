@@ -1160,48 +1160,21 @@ def _training_ops_oracles() -> dict[str, str]:
         LANG_MAX_CHARS,
         LANG_NORM_CLASS,
         LANG_ORDER,
-        LANG_PATTERNS,
         STOPWORDS_EN,
     )
-    from bm25_spark.functions.lid_profiles import pattern_weight
+    from bm25_spark.operators.textstats import lid_score_sql
 
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
-    # pattern-profile LID mirror, generated from the SAME tables the Spark
-    # operator uses (textstats.LANG_PATTERNS/LANG_ORDER): per language an
-    # integer occurrence count via length-difference//pattern-length,
-    # summed per length group exactly like the Spark expression, argmax
-    # with the identical first-in-LANG_ORDER tie-break
-
-    def _bal(terms: list[str]) -> str:
-        # balanced-tree sum: DuckDB's binder recurses per nested binary
-        # op (limit 128), so a flat 400-term "+" chain fails to bind;
-        # log-depth parenthesization binds at depth ~9
-        if len(terms) == 1:
-            return terms[0]
-        mid = len(terms) // 2
-        return f"({_bal(terms[:mid])} + {_bal(terms[mid:])})"
-
-    def _lang_score(lang: str) -> str:
-        # same (length, weight) grouping as the Spark side: whole words
-        # and >3-char morphemes count double (pattern_weight)
-        groups: dict[tuple[int, int], list[str]] = {}
-        for pat in LANG_PATTERNS[lang]:
-            groups.setdefault(
-                (len(pat), pattern_weight(pat)), []
-            ).append(pat)
-        parts = []
-        for (plen, w) in sorted(groups):
-            diffs = _bal([
-                "(length(s) - length(replace(s, '{0}', '')))".format(
-                    pat.replace("'", "''")
-                )
-                for pat in groups[(plen, w)]
-            ])
-            parts.append(f"({w} * (({diffs}) // {plen}))")
-        return "(" + _bal(parts) + f") AS s_{lang}"
-
+    # pattern-profile LID mirror: the SAME generator the Spark operator
+    # parses via F.expr, retargeted to DuckDB dialect (// integer
+    # division, doubled-quote escape) — grouping/weighting/balancing
+    # logic lives once in textstats.lid_score_sql, so the engines cannot
+    # drift arithmetically; argmax keeps the identical first-in-
+    # LANG_ORDER tie-break
     lang_score_sql = ",\n         ".join(
-        _lang_score(lang) for lang in LANG_ORDER
+        f"({lid_score_sql(lang, intdiv='//', squote=chr(39) * 2)})"
+        f" AS s_{lang}"
+        for lang in LANG_ORDER
     )
     lang_max = "greatest(" + ", ".join(f"s_{L}" for L in LANG_ORDER) + ")"
     lang_case = "\n            ".join(

@@ -38,6 +38,48 @@ from bm25_spark.functions.lid_profiles import (  # noqa: E402
 )
 
 
+def _balanced(terms: list[str]) -> str:
+    """Log-depth parenthesized sum. Both consumers need it: Spark's
+    parser/analyzer and DuckDB's binder (hard limit 128) recurse per
+    nested binary op, and a language's score has ~400 terms."""
+    if len(terms) == 1:
+        return terms[0]
+    mid = len(terms) // 2
+    return f"({_balanced(terms[:mid])} + {_balanced(terms[mid:])})"
+
+
+def lid_score_sql(lang: str, intdiv: str = "div", squote: str = "\\'") -> str:
+    """The ONE generator for a language's LID score expression, shared by
+    the Spark operator (``F.expr``, Spark SQL ``div``, backslash quote
+    escape) and the DuckDB oracle in contract.py (``//``, doubled-quote
+    escape) — the two engines must stay arithmetically identical, so the
+    grouping/weighting logic lives exactly once.
+
+    Patterns group by (length, weight): whole words and >3-char morphemes
+    count double (pattern_weight) — they are the high-precision features;
+    trigrams are the dense fallback. Each group's length-differences sum
+    exactly divides by the pattern length (every diff is a multiple of
+    it), so integer division per group is exact.
+
+    Generated-SQL route rationale (Spark side): composing the same tree
+    from ~900 Python Column objects costs ~3 s/language in Py4J
+    round-trips (measured 43 s total for 15 languages); one parsed string
+    builds an identical analyzed expression in well under a second."""
+    groups: dict[tuple[int, int], list[str]] = {}
+    for pat in LANG_PATTERNS[lang]:
+        groups.setdefault((len(pat), pattern_weight(pat)), []).append(pat)
+    parts = []
+    for (plen, w) in sorted(groups):
+        diffs = _balanced([
+            "(length(s) - length(replace(s, '{0}', '')))".format(
+                pat.replace("'", squote)
+            )
+            for pat in groups[(plen, w)]
+        ])
+        parts.append(f"({w} * (({diffs}) {intdiv} {plen}))")
+    return _balanced(parts)
+
+
 def _tokens_col(text_col: str) -> F.Column:
     """array of analyzer tokens (len>=2) for plain-ascii text — the JVM-side
     equivalent of the tokenizer UDF's ASCII path (valid when text has no
@@ -119,38 +161,9 @@ def lang_id(
     )
     d = docs.select("doc_id", norm.alias("s"))
 
-    def _bal(terms: list[str]) -> str:
-        # log-depth parenthesization: keeps parser/analyzer recursion
-        # shallow at ~400 terms/language (mirrors the oracle's SQL shape)
-        if len(terms) == 1:
-            return terms[0]
-        mid = len(terms) // 2
-        return f"({_bal(terms[:mid])} + {_bal(terms[mid:])})"
-
-    def _score_expr(lang: str) -> str:
-        # ONE generated SQL string per language, parsed JVM-side by
-        # F.expr — composing the same tree from ~900 Python Column
-        # objects costs ~3 s/language in Py4J round-trips (measured 43 s
-        # total for 15 languages); the parsed route builds the plan in
-        # well under a second with an identical analyzed expression.
-        # Patterns group by (length, weight): whole words and >3-char
-        # morphemes count double (pattern_weight) — they are the
-        # high-precision features; trigrams are the dense fallback.
-        groups: dict[tuple[int, int], list[str]] = {}
-        for pat in LANG_PATTERNS[lang]:
-            groups.setdefault((len(pat), pattern_weight(pat)), []).append(pat)
-        parts = []
-        for (plen, w) in sorted(groups):
-            quoted = [pat.replace("'", "\\'") for pat in groups[(plen, w)]]
-            diffs = _bal([
-                f"(length(s) - length(replace(s, '{q}', '')))"
-                for q in quoted
-            ])
-            parts.append(f"({w} * (({diffs}) div {plen}))")
-        return _bal(parts)
-
     score_cols = [
-        F.expr(_score_expr(lang)).alias(f"s_{lang}") for lang in LANG_ORDER
+        F.expr(lid_score_sql(lang)).alias(f"s_{lang}")
+        for lang in LANG_ORDER
     ]
     scored = d.select("doc_id", *score_cols)
     maxs = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_ORDER])

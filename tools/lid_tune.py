@@ -11,9 +11,13 @@ Design history, for honesty about methodology:
 * final round-5 design (this file): profiles are generated from PUBLIC
   linguistic knowledge only — per-language lists of the highest-frequency
   function words (standard stopword-list content, ordered roughly by
-  frequency) plus productive suffixes. Each padded word contributes its
-  character trigrams; profiles are capped at a common size so no language
-  gets an ambient-score advantage. THE FIXTURE IS NEVER USED FOR FITTING
+  frequency) plus productive suffixes. Each padded word contributes
+  itself (weight 2), productive suffixes contribute word-final patterns,
+  and the words' trigrams form the dense weight-1 fallback (capped, and
+  filtered of trigrams shared by >4 languages' lexicons). Profile sizes
+  vary with lexicon size (~190-410); whole-word/suffix hits are precise
+  enough that this asymmetry does not act as an ambient-score advantage
+  (validated per-language on dev). THE FIXTURE IS NEVER USED FOR FITTING
   — the dev half of tools/lid_accuracy.py is a pure validation readout,
   and the test half stays the reported held-out figure.
 
@@ -22,7 +26,7 @@ in every sharing language's lexicon, so their trigrams land in all those
 profiles and cancel at argmax time — discrimination comes from the
 trigrams that don't collide.
 
-Usage: python tools/lid_tune.py [cap]   # prints dev readout + profile dict
+Usage: python tools/lid_tune.py   # regenerates the module + dev readout
 """
 
 from __future__ import annotations
@@ -35,7 +39,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # must match textstats.LANG_NORM_CLASS / LANG_MAX_CHARS exactly
-NORM_CLASS = "[^a-zà-ÿа-яёąćęłńśźżěščřžťďňůıșțğş]+"
+NORM_CLASS = "[^a-zà-ÿа-яёąćęłńśźżěščřžťďňůıșțğşă]+"
 MAX_CHARS = 1000
 
 # Highest-frequency function words per language, roughly frequency-ordered
@@ -214,9 +218,28 @@ def build_profiles(
     share = Counter(t for L in alltris for t in alltris[L])
     profiles: dict[str, list[str]] = {}
     for lang in sorted(WORD_LEXICON):
-        pats = [f" {w} " for w in WORD_LEXICON[lang]]
-        pats += [sf + " " for sf in SUFFIX_LEXICON[lang]]
-        pats += [t for t in alltris[lang] if share[t] <= share_max][:tri_cap]
+        pats: list[str] = []
+        seen: set[str] = set()
+        for p in (
+            [f" {w} " for w in WORD_LEXICON[lang]]
+            + [sf + " " for sf in SUFFIX_LEXICON[lang]]
+            + [t for t in alltris[lang] if share[t] <= share_max][:tri_cap]
+        ):
+            # dedupe ACROSS sections: a single-letter word's padded form
+            # equals its own trigram (' и '), a suffix can equal a word or
+            # trigram ('ów ') — without this they'd silently score at
+            # double the intended weight
+            if p not in seen:
+                seen.add(p)
+                pats.append(p)
+        # every pattern char must survive the operator's normalization —
+        # a char outside NORM_CLASS becomes a space at score time and the
+        # pattern can never match (this is how Romanian 'ă' went missing)
+        for pat in pats:
+            assert re.sub(NORM_CLASS, " ", pat) == pat, (
+                f"pattern {pat!r} ({lang}) contains chars stripped by "
+                "NORM_CLASS — extend the class"
+            )
         profiles[lang] = pats
     return profiles
 
@@ -292,11 +315,13 @@ def write_module(profiles: dict[str, list[str]]) -> None:
 
 if __name__ == "__main__":
     profiles = build_profiles()
-    if "--write" in sys.argv:
-        # write first: dev_readout imports pattern_weight from the
-        # generated module, which must reflect this run's profiles
-        write_module(profiles)
-        print(f"wrote {GENERATED_MODULE}")
+    # ALWAYS regenerate (deterministic from the lexicons, so overwriting
+    # is harmless) and write BEFORE scoring: dev_readout imports
+    # pattern_weight from the generated module, which must reflect this
+    # run — scoring fresh profiles with a stale committed module would
+    # print a readout that doesn't correspond to what ships
+    write_module(profiles)
+    print(f"wrote {GENERATED_MODULE}")
     acc, detail = dev_readout(profiles)
     sizes = {L: len(v) for L, v in profiles.items()}
     print(json.dumps(
