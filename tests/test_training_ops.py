@@ -118,6 +118,22 @@ def test_fingerprint_and_exact_dedup(docs):
     assert res[4]["group_id"] == 3
 
 
+def test_lid_profiles_module_in_sync():
+    """The committed generated module must match what tools/lid_tune.py
+    would regenerate from the lexicons — catches hand-edits of
+    lid_profiles.py and lexicon changes committed without regeneration."""
+    from bm25_spark.functions import lid_profiles
+    from tools import lid_tune
+
+    rebuilt = lid_tune.build_profiles()
+    assert tuple(sorted(rebuilt)) == lid_profiles.LANG_ORDER
+    assert {L: list(v) for L, v in rebuilt.items()} == {
+        L: list(v) for L, v in lid_profiles.LANG_PATTERNS.items()
+    }
+    assert lid_tune.NORM_CLASS == lid_profiles.LANG_NORM_CLASS
+    assert lid_tune.MAX_CHARS == lid_profiles.LANG_MAX_CHARS
+
+
 def test_lang_id_heldout_accuracy_floor(spark):
     """Regression floor for the held-out LID figure reported in BENCH.md:
     the test half of tools/lid_accuracy.py's fixture (never used for
