@@ -164,6 +164,22 @@ def main() -> int:
         )
     )
 
+    # 9. language ID: one narrow weighted-pattern projection (round 5)
+    from bm25_spark.operators.textstats import lang_id
+
+    sections.append(
+        (
+            "Language ID — 15-language weighted-pattern projection",
+            "lang_id is ~5k replace/length expressions over ONE narrow "
+            "projection (generated SQL via F.expr, balanced-tree sums). "
+            "Look for: a single Project over the (pruned doc_id,text) "
+            "scan; NO Exchange, NO Generate, NO Python/pandas stage — "
+            "per-row cost is bounded by LANG_MAX_CHARS, so the operator "
+            "scales linearly with rows at 100 TB.",
+            captured_explain(lang_id(docs)),
+        )
+    )
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
