@@ -533,6 +533,12 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_read_docs(spark, sf_dir))
 
 
+def q_repetition(spark, sf_dir):
+    from bm25_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_read_docs(spark, sf_dir))
+
+
 def q_dedup_exact(spark, sf_dir):
     from bm25_spark.operators.dedup import exact_duplicates
 
@@ -883,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_quality": q_quality,
         "ts_lang_id": q_lang_id,
         "ts_fingerprint": q_fingerprint,
+        "ts_repetition": q_repetition,
         "dd_exact": q_dedup_exact,
         "dd_jaccard": q_jaccard_pairs,
         "dd_minhash_sig": q_minhash_sig,
@@ -1246,6 +1253,34 @@ SELECT doc_id,
             {lang_case}
             END AS lang_pred
 FROM m""",
+        "ts_repetition": _TOKS_CTE
+        + """
+, ln AS (
+  SELECT doc_id,
+         list_filter(list_transform(str_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines
+  FROM documents
+), lstat AS (
+  SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+         CASE WHEN len(lines) > 0 THEN
+           round((len(lines) - len(list_distinct(lines))) * 1.0
+                 / len(lines), 4)
+         ELSE 0.0 END AS dup_line_frac
+  FROM ln
+), b AS (
+  SELECT doc_id, len(toks) AS n_toks, u.bigram
+  FROM t, UNNEST(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i + 1])) AS u(bigram)
+  WHERE len(toks) >= 2
+), c AS (
+  SELECT doc_id, n_toks, bigram, count(*) AS c FROM b GROUP BY ALL
+), m AS (
+  SELECT doc_id, round(max(c) * 2.0 / max(n_toks), 4) AS top_bigram_frac
+  FROM c GROUP BY doc_id
+)
+SELECT l.doc_id, l.n_lines, l.dup_line_frac,
+       coalesce(m.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM lstat l LEFT JOIN m ON l.doc_id = m.doc_id""",
         "ts_fingerprint": _TOKS_CTE
         + "SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM t",
         "dd_exact": _TOKS_CTE

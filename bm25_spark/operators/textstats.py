@@ -178,3 +178,77 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     is whitespace/case/punct-insensitive."""
     norm = F.concat_ws(" ", _tokens_col(text_col))
     return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_lines, dup_line_frac, top_bigram_frac): the classic
+    repetition quality filters for training-data curation —
+
+    * ``dup_line_frac``: fraction of non-empty trimmed lines that are
+      duplicates of another line in the same document,
+    * ``top_bigram_frac``: fraction of analyzer tokens covered by the
+      single most frequent word bigram (2 * max bigram count / n_tokens).
+
+    100 TB shape: the line metric is pure JVM array work on the narrow
+    scan (``array_distinct`` — no explode, no shuffle). The bigram metric
+    explodes to (doc_id, bigram) rows and aggregates twice, BOTH keyed by
+    doc_id, so the two shuffles are partially aggregated map-side and
+    carry one row per distinct (doc, bigram) — the same linear shape as
+    the TF build (O4), never O(n^2)-per-doc expression work."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines)))
+        / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    toks = _tokens_col(text_col)
+
+    base = docs.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        F.round(dup_line_frac, 4).alias("dup_line_frac"),
+        toks.alias("toks"),
+        F.size(toks).alias("n_toks"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        "n_toks",
+        F.explode(
+            F.when(
+                F.col("n_toks") >= 2,
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array())
+        ).alias("bigram"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "n_toks", "bigram")
+        .count()
+        .groupBy("doc_id", "n_toks")
+        .agg(F.max("count").alias("top_count"))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("top_count") * 2 / F.col("n_toks").cast("double"), 4
+            ).alias("top_bigram_frac"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_lines", "dup_line_frac")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_frac",
+            F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )

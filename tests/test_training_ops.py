@@ -108,6 +108,32 @@ def test_lang_id_trigram_accuracy(spark):
     assert not wrong, wrong
 
 
+def test_repetition_stats(spark):
+    """Gopher-style repetition filters: duplicate-line fraction (exact
+    array math, no explode) and top-bigram token coverage (explode +
+    doc-keyed partial aggs) — asserted against hand-computed values."""
+    df = spark.createDataFrame(
+        [
+            (0, "aa bb\naa bb\ncc dd"),   # 1 dup line of 3; "aa bb" x2 of 5 bigrams
+            (1, "xx yy xx yy xx yy"),      # no dup lines; "xx yy" covers all
+            (2, ""),                        # empty: all zeros
+            (3, "one"),                     # single token: no bigrams
+            (4, "  \n\n  "),               # whitespace-only lines drop
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textstats.repetition_stats(df).collect()
+    }
+    assert (rows[0]["n_lines"], rows[0]["dup_line_frac"]) == (3, 0.3333)
+    assert rows[0]["top_bigram_frac"] == 0.6667  # 2*2 of 6 tokens
+    assert (rows[1]["dup_line_frac"], rows[1]["top_bigram_frac"]) == (0.0, 1.0)
+    assert (rows[2]["n_lines"], rows[2]["top_bigram_frac"]) == (0, 0.0)
+    assert rows[3]["top_bigram_frac"] == 0.0
+    assert rows[4]["n_lines"] == 0
+
+
 def test_fingerprint_and_exact_dedup(docs):
     fp = {r["doc_id"]: r["fp"] for r in textstats.fingerprint(docs).collect()}
     assert fp[0] == fp[2]  # case/punct-insensitive
