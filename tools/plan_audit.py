@@ -180,6 +180,23 @@ def main() -> int:
         )
     )
 
+    # 10. repetition stats: dup-line JVM math + doc-keyed bigram aggs
+    from bm25_spark.operators.textstats import repetition_stats
+
+    sections.append(
+        (
+            "Repetition stats — dup-line + top-bigram",
+            "dup_line_frac is array math inside the scan projection (no "
+            "explode); top_bigram_frac explodes to (doc_id, bigram) and "
+            "aggregates twice keyed by doc_id. Look for: partial_count / "
+            "partial_max before each Exchange (map-side combine), "
+            "exchanges hashed on doc_id-prefixed keys only, and the final "
+            "left join reusing the doc_id hash — linear in rows, "
+            "never O(n^2) per doc.",
+            captured_explain(repetition_stats(docs)),
+        )
+    )
+
     lines = [
         "# PLANS — physical-plan audit of the headline operators",
         "",
